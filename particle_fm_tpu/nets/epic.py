@@ -1,0 +1,247 @@
+"""EPiC (Equivariant Point Cloud) networks — TPU-native implementation.
+
+DeepSets-style permutation-equivariant layers with global-local message
+passing (https://arxiv.org/abs/2301.08128). All ops are fixed-shape
+matmuls + masked reductions, which XLA fuses and tiles onto the MXU; the
+pool->broadcast pattern is O(N) in the set size.
+
+Behavioral parity with the reference implementation:
+  - EPiC_layer:        particle_fm/models/components/epic.py:17-203
+  - EPiC_encoder:      epic.py:206-391
+  - EPiC_discriminator: epic.py:394-598
+(The math is re-derived from the paper + reference behavior; code is original.)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from particle_fm_tpu.nets.common import WNDense, cat, get_act
+from particle_fm_tpu.ops.masked import meansum_pool
+
+
+class EPiCLayer(nn.Module):
+    """One EPiC global-local block.
+
+    Takes (x_global (B, latent), x_local (B, N, H)) and returns updated
+    (x_global, x_local). Time embedding and conditioning are concatenated
+    into the MLP inputs when enabled.
+    """
+
+    hid_dim: int = 256
+    latent_dim: int = 16
+    global_cond_dim: int = 0
+    local_cond_dim: int = 0
+    t_local_cat: bool = False
+    t_global_cat: bool = False
+    activation: str = "leaky_relu"
+    use_weight_norm: bool = True
+    sum_scale: float = 1e-2
+    dropout: float = 0.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        t: jnp.ndarray | None,
+        x_global: jnp.ndarray,
+        x_local: jnp.ndarray,
+        cond: jnp.ndarray | None = None,
+        mask: jnp.ndarray | None = None,
+        deterministic: bool = True,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        act = get_act(self.activation)
+        n = x_local.shape[-2]
+
+        t_local = t if self.t_local_cat else None
+        t_global = t[..., 0, :] if (self.t_global_cat and t is not None) else None
+        g_cond = cond if self.global_cond_dim > 0 else None
+        l_cond = (
+            jnp.broadcast_to(cond[..., None, :], cond.shape[:-1] + (n, cond.shape[-1]))
+            if (self.local_cond_dim > 0 and cond is not None)
+            else None
+        )
+
+        wn = self.use_weight_norm
+        dense = lambda feats, name: WNDense(
+            feats, use_weight_norm=wn, dtype=self.dtype, name=name
+        )
+
+        # mean+sum pooling over particles
+        pooled_mean, pooled_sum = meansum_pool(x_local, mask, self.sum_scale)
+
+        # global MLPs (second has a residual connection before the activation)
+        g_in = cat(t_global, pooled_mean, pooled_sum, x_global, g_cond)
+        x_global1 = act(dense(self.hid_dim, "fc_global1")(g_in))
+        x_global = act(
+            dense(self.latent_dim, "fc_global2")(cat(t_global, x_global1, g_cond)) + x_global
+        )
+        x_global = nn.Dropout(self.dropout, deterministic=deterministic)(x_global)
+
+        # broadcast global state to every particle
+        g2l = jnp.broadcast_to(
+            x_global[..., None, :], x_global.shape[:-1] + (n, x_global.shape[-1])
+        )
+
+        # local MLPs (second has a residual connection before the activation)
+        l_in = cat(t_local, x_local, g2l, l_cond)
+        x_local1 = act(dense(self.hid_dim, "fc_local1")(l_in))
+        x_local = act(
+            dense(self.hid_dim, "fc_local2")(cat(t_local, x_local1, l_cond)) + x_local
+        )
+        x_local = nn.Dropout(self.dropout, deterministic=deterministic)(x_local)
+
+        return x_global, x_local
+
+
+class EPiCEncoder(nn.Module):
+    """EPiC generator/encoder: local embed -> pooled global init -> N EPiC
+    layers -> local output head. Output is multiplied by the mask.
+
+    Call: (t_emb (B,N,2f) | None, x (B,N,F_in), cond (B,C) | None, mask (B,N,1) | None)
+          -> (B, N, feats)
+    """
+
+    feats: int = 3  # output features
+    hid_dim: int = 256
+    latent_dim: int = 16
+    equiv_layers: int = 8
+    global_cond_dim: int = 0
+    local_cond_dim: int = 0
+    t_local_cat: bool = False
+    t_global_cat: bool = False
+    activation: str = "leaky_relu"
+    use_weight_norm: bool = True
+    sum_scale: float = 1e-2
+    dropout: float = 0.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        t: jnp.ndarray | None,
+        x: jnp.ndarray,
+        cond: jnp.ndarray | None = None,
+        mask: jnp.ndarray | None = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        act = get_act(self.activation)
+        n = x.shape[-2]
+
+        t_local = t if self.t_local_cat else None
+        t_global = t[..., 0, :] if (self.t_global_cat and t is not None) else None
+        g_cond = cond if self.global_cond_dim > 0 else None
+        l_cond = (
+            jnp.broadcast_to(cond[..., None, :], cond.shape[:-1] + (n, cond.shape[-1]))
+            if (self.local_cond_dim > 0 and cond is not None)
+            else None
+        )
+
+        wn = self.use_weight_norm
+        dense = lambda feats, name: WNDense(
+            feats, use_weight_norm=wn, dtype=self.dtype, name=name
+        )
+
+        # input local MLPs (second with residual)
+        h = act(dense(self.hid_dim, "fc_l1")(cat(t_local, x, l_cond)))
+        h = act(dense(self.hid_dim, "fc_l2")(cat(t_local, h, l_cond)) + h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+
+        # pooled global init: cat(scaled_sum, mean) -> two MLPs (no residual)
+        z_mean, z_sum = meansum_pool(h, mask, self.sum_scale)
+        g = cat(z_sum, z_mean)
+        g = act(dense(self.hid_dim, "fc_g1")(cat(t_global, g, g_cond)))
+        g = act(dense(self.latent_dim, "fc_g2")(cat(t_global, g, g_cond)))
+
+        # stack of EPiC layers
+        for i in range(self.equiv_layers):
+            g, h = EPiCLayer(
+                hid_dim=self.hid_dim,
+                latent_dim=self.latent_dim,
+                global_cond_dim=self.global_cond_dim,
+                local_cond_dim=self.local_cond_dim,
+                t_local_cat=self.t_local_cat,
+                t_global_cat=self.t_global_cat,
+                activation=self.activation,
+                use_weight_norm=wn,
+                sum_scale=self.sum_scale,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=f"epic_layer_{i}",
+            )(t, g, h, cond=cond, mask=mask, deterministic=deterministic)
+
+        # output head
+        out = act(dense(self.feats, "fc_l3")(cat(t_local, h, l_cond)))
+        if mask is not None:
+            out = out * mask
+        return out
+
+
+class EPiCDiscriminator(nn.Module):
+    """EPiC set classifier: local embed -> EPiC layers -> pooled global MLP head.
+
+    Used for gen-vs-real classifier tests. `num_sup_sets` > 1 pools over
+    super-sets (e.g. the two jets of an LHCO dijet event) before the head.
+    Parity: particle_fm/models/components/epic.py:394-598.
+    """
+
+    hid_dim: int = 256
+    latent_dim: int = 16
+    equiv_layers: int = 8
+    global_cond_dim: int = 0
+    local_cond_dim: int = 0
+    activation: str = "leaky_relu"
+    use_weight_norm: bool = True
+    sum_scale: float = 1e-2
+    dropout: float = 0.0
+    num_sup_sets: int = 1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        cond: jnp.ndarray | None = None,
+        mask: jnp.ndarray | None = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        act = get_act(self.activation)
+        wn = self.use_weight_norm
+        dense = lambda feats, name: WNDense(
+            feats, use_weight_norm=wn, dtype=self.dtype, name=name
+        )
+
+        h = act(dense(self.hid_dim, "fc_l1")(x))
+        h = act(dense(self.hid_dim, "fc_l2")(h) + h)
+
+        z_mean, z_sum = meansum_pool(h, mask, self.sum_scale)
+        g = cat(z_sum, z_mean)
+        g = act(dense(self.hid_dim, "fc_g1")(g))
+        g = act(dense(self.latent_dim, "fc_g2")(g))
+
+        for i in range(self.equiv_layers):
+            g, h = EPiCLayer(
+                hid_dim=self.hid_dim,
+                latent_dim=self.latent_dim,
+                global_cond_dim=self.global_cond_dim,
+                local_cond_dim=self.local_cond_dim,
+                activation=self.activation,
+                use_weight_norm=wn,
+                sum_scale=self.sum_scale,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=f"epic_layer_{i}",
+            )(None, g, h, cond=cond, mask=mask, deterministic=deterministic)
+
+        # final pooled representation -> classifier head
+        z_mean, z_sum = meansum_pool(h, mask, self.sum_scale)
+        g_final = cat(z_sum, z_mean, g)
+        if self.num_sup_sets > 1:
+            # (B*S, ...) -> (B, S*D): concatenate super-set representations
+            d = g_final.shape[-1]
+            g_final = g_final.reshape(-1, self.num_sup_sets * d)
+        out = act(dense(self.hid_dim, "fc_d1")(g_final))
+        out = act(dense(self.hid_dim, "fc_d2")(out) + out)
+        out = dense(1, "fc_out")(out)
+        return out

@@ -1,0 +1,67 @@
+"""Time embeddings for the vector-field networks.
+
+Parity (reference = ewencedr/particle_fm):
+  - sincos:  flow_matching_module.py:208-211  t -> cat(cos(2^k*pi*t), sin(2^k*pi*t))
+  - gaussian: time_emb.py:9-22   Gaussian Fourier projection
+  - cosine:  time_emb.py:49-96   cos((x+min)*exp(k)*pi/(max+min)) frequency ladder
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def sincos_embedding(t: jnp.ndarray, frequencies: int) -> jnp.ndarray:
+    """cat(cos, sin) of t at frequencies 2^k * pi, k=0..frequencies-1.
+
+    t: (...,) -> (..., 2*frequencies)
+    """
+    freqs = (2.0 ** jnp.arange(frequencies)) * jnp.pi
+    arg = t[..., None] * freqs
+    return jnp.concatenate([jnp.cos(arg), jnp.sin(arg)], axis=-1)
+
+
+def cosine_encoding(
+    x: jnp.ndarray,
+    outp_dim: int = 32,
+    min_value: float = 0.0,
+    max_value: float = 1.0,
+    frequency_scaling: str = "exponential",
+) -> jnp.ndarray:
+    """Cosine positional encoding with exponentially (or linearly) increasing freqs.
+
+    x: (...,) or (..., 1) -> (..., outp_dim)
+    """
+    if x.ndim == 0:
+        x = x[None]
+    if x.shape[-1] != 1:
+        x = x[..., None]
+    if frequency_scaling == "exponential":
+        freqs = jnp.exp(jnp.arange(outp_dim, dtype=x.dtype))
+    elif frequency_scaling == "linear":
+        freqs = jnp.arange(1, outp_dim + 1, dtype=x.dtype)
+    else:
+        raise ValueError(f"Unrecognised frequency scaling: {frequency_scaling}")
+    return jnp.cos((x + min_value) * freqs * math.pi / (max_value + min_value))
+
+
+class GaussianFourierProjection(nn.Module):
+    """Gaussian random features for time: fixed random projection, sin/cat/cos."""
+
+    embed_dim: int
+    scale: float = 30.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param(
+            "W",
+            lambda key, shape: jax.random.normal(key, shape) * self.scale,
+            (self.embed_dim // 2,),
+        )
+        w = jax.lax.stop_gradient(w)  # frozen, like requires_grad=False
+        x_proj = x[..., None] * w * 2 * math.pi
+        return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)

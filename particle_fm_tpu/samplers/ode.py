@@ -1,0 +1,151 @@
+"""Jitted ODE integrators for flow sampling — the headline hot loop.
+
+Fixed-step methods run as a `lax.scan` over steps: one traced network forward
+per stage, fully fused by XLA, thousands of sets integrating per chip.
+
+Step-count convention matches the reference, which integrates over
+`torch.linspace(1, 0, ode_steps)` via torchdyn (flow_matching_module.py:264),
+i.e. `ode_steps - 1` uniform steps from t0 to t1. NFE per set:
+  euler: ode_steps-1, midpoint: 2*(ode_steps-1), rk4: 4*(ode_steps-1).
+
+`odeint_dopri5` is an adaptive Dormand-Prince 5(4) with a PI step-size
+controller inside `lax.while_loop` (parity with torchdyn's dopri5
+atol=rtol=1e-4 defaults, flow_matching_module.py:267-274). The loop is
+shape-static so it jits; all sets in the batch share one global step size
+(the error norm is taken over the whole batch) — for physics sampling the
+fixed-NFE midpoint path is the production one.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+Drift = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]  # f(t, x) -> dx/dt
+
+
+def _euler_step(f: Drift, t, dt, x):
+    return x + dt * f(t, x)
+
+
+def _midpoint_step(f: Drift, t, dt, x):
+    k1 = f(t, x)
+    return x + dt * f(t + 0.5 * dt, x + 0.5 * dt * k1)
+
+
+def _heun_step(f: Drift, t, dt, x):
+    k1 = f(t, x)
+    k2 = f(t + dt, x + dt * k1)
+    return x + 0.5 * dt * (k1 + k2)
+
+
+def _rk4_step(f: Drift, t, dt, x):
+    k1 = f(t, x)
+    k2 = f(t + 0.5 * dt, x + 0.5 * dt * k1)
+    k3 = f(t + 0.5 * dt, x + 0.5 * dt * k2)
+    k4 = f(t + dt, x + dt * k3)
+    return x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+_STEPPERS = {
+    "euler": _euler_step,
+    "midpoint": _midpoint_step,
+    "heun": _heun_step,
+    "rk4": _rk4_step,
+}
+
+
+def odeint_fixed(
+    f: Drift,
+    x0: jnp.ndarray,
+    t0: float = 1.0,
+    t1: float = 0.0,
+    ode_steps: int = 100,
+    method: str = "midpoint",
+) -> jnp.ndarray:
+    """Integrate dx/dt = f(t, x) from t0 to t1 with `ode_steps - 1` uniform steps."""
+    stepper = _STEPPERS[method]
+    n = ode_steps - 1
+    dt = (t1 - t0) / n
+
+    def body(x, k):
+        t = t0 + k.astype(x0.dtype) * dt
+        return stepper(f, t, dt, x), None
+
+    x, _ = jax.lax.scan(body, x0, jnp.arange(n))
+    return x
+
+
+# --- Dormand-Prince 5(4) Butcher tableau ---
+_DP_C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_DP_A = [
+    [],
+    [1 / 5],
+    [3 / 40, 9 / 40],
+    [44 / 45, -56 / 15, 32 / 9],
+    [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+    [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+    [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+]
+_DP_B5 = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
+_DP_B4 = jnp.array(
+    [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40]
+)
+
+
+def odeint_dopri5(
+    f: Drift,
+    x0: jnp.ndarray,
+    t0: float = 1.0,
+    t1: float = 0.0,
+    rtol: float = 1e-4,
+    atol: float = 1e-4,
+    init_dt: float | None = None,
+    max_steps: int = 1000,
+    safety: float = 0.9,
+) -> jnp.ndarray:
+    """Adaptive DOPRI5 via lax.while_loop. One global step size for the batch."""
+    direction = 1.0 if t1 > t0 else -1.0
+    span = abs(t1 - t0)
+    dt0 = direction * (init_dt if init_dt is not None else span / 50.0)
+
+    def error_norm(err, x, x_new):
+        scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x_new))
+        return jnp.sqrt(jnp.mean(jnp.square(err / scale)))
+
+    def rk_stages(t, dt, x):
+        ks = []
+        for i in range(7):
+            xi = x
+            for j, aij in enumerate(_DP_A[i]):
+                xi = xi + dt * aij * ks[j]
+            ks.append(f(t + _DP_C[i] * dt, xi))
+        k = jnp.stack(ks)
+        x5 = x + dt * jnp.tensordot(_DP_B5, k, axes=1)
+        x4 = x + dt * jnp.tensordot(_DP_B4, k, axes=1)
+        return x5, x5 - x4
+
+    def cond(state):
+        t, x, dt, n = state
+        return (direction * (t1 - t) > 1e-10) & (n < max_steps)
+
+    def body(state):
+        t, x, dt, n = state
+        # don't overshoot the final time
+        dt = jnp.where(direction * (t + dt - t1) > 0, t1 - t, dt)
+        x_new, err = rk_stages(t, dt, x)
+        en = error_norm(err, x, x_new)
+        accept = en <= 1.0
+        factor = jnp.clip(safety * (1.0 / jnp.maximum(en, 1e-10)) ** 0.2, 0.2, 5.0)
+        t = jnp.where(accept, t + dt, t)
+        x = jnp.where(accept, x_new, x)
+        dt = dt * factor
+        return (t, x, dt, n + 1)
+
+    t0a = jnp.asarray(t0, x0.dtype)
+    _, x, _, _ = jax.lax.while_loop(
+        cond, body, (t0a, x0, jnp.asarray(dt0, x0.dtype), jnp.asarray(0))
+    )
+    return x
