@@ -51,6 +51,11 @@ def _sample_t(rng, batch: int, dtype) -> jnp.ndarray:
     return jax.random.uniform(rng, (batch,), dtype=dtype)
 
 
+def _tb(t: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast per-sample t to x's rank: (B,) -> (B, 1, ..., 1)."""
+    return t.reshape((t.shape[0],) + (1,) * (x.ndim - 1))
+
+
 def fm_ot_loss(
     vf: VF,
     rng: jax.Array,
@@ -65,7 +70,7 @@ def fm_ot_loss(
         mask = _ones_mask(x)
     rng_t, rng_z = jax.random.split(rng)
     t = _sample_t(rng_t, x.shape[0], x.dtype)
-    tb = t[:, None, None]
+    tb = _tb(t, x)
     z = jax.random.normal(rng_z, x.shape, x.dtype)
     y = (1.0 - tb) * x + (sigma + (1.0 - sigma) * tb) * z
     u = ((1.0 - sigma) * z - x) * mask
@@ -87,7 +92,7 @@ def cfm_loss(
         mask = _ones_mask(x)
     rng_t, rng_0, rng_eps = jax.random.split(rng, 3)
     t = _sample_t(rng_t, x.shape[0], x.dtype)
-    tb = t[:, None, None]
+    tb = _tb(t, x)
     x0 = jax.random.normal(rng_0, x.shape, x.dtype)  # prior sample
     x1 = x
     mu_t = (1.0 - tb) * x1 + tb * x0
@@ -119,7 +124,7 @@ def cfm_ot_loss(
         mask = _ones_mask(x)
     rng_t, rng_0, rng_eps = jax.random.split(rng, 3)
     t = _sample_t(rng_t, x.shape[0], x.dtype)
-    tb = t[:, None, None]
+    tb = _tb(t, x)
     x0 = jax.random.normal(rng_0, x.shape, x.dtype)
     x1 = x
     j = ot_pair_indices(x0, x1, method=ot_method, reg=ot_reg, n_iters=ot_iters)
@@ -147,7 +152,7 @@ def diffusion_loss(
         mask = _ones_mask(x)
     rng_t, rng_z = jax.random.split(rng)
     t = _sample_t(rng_t, x.shape[0], x.dtype)
-    tb = t[:, None, None]
+    tb = _tb(t, x)
     z = jax.random.normal(rng_z, x.shape, x.dtype) * mask
     signal_rates, noise_rates = schedule(tb)
     noisy = signal_rates * x + noise_rates * z
@@ -174,7 +179,7 @@ def droid_loss(
         mask = _ones_mask(x)
     rng_t, rng_z = jax.random.split(rng)
     t = _sample_t(rng_t, x.shape[0], x.dtype)
-    tb = t[:, None, None]
+    tb = _tb(t, x)
     z = jax.random.normal(rng_z, x.shape, x.dtype)
     y = x + tb * z
     u = z * mask

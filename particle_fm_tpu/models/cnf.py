@@ -133,8 +133,10 @@ class CNF(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         t_emb = self.time_embedding(t, x.shape[-2]).astype(x.dtype)
+        # scalar sampling times produce batch-1 embeddings; broadcast to x's batch
+        t_emb = jnp.broadcast_to(t_emb, x.shape[:-1] + (t_emb.shape[-1],))
         if self.add_time_to_input:
-            x = jnp.concatenate([jnp.broadcast_to(t_emb, x.shape[:-1] + (t_emb.shape[-1],)), x], axis=-1)
+            x = jnp.concatenate([t_emb, x], axis=-1)
         return self.net(t_emb, x, cond, mask, deterministic=deterministic)
 
 

@@ -30,6 +30,7 @@ def torch_linear_init(fan_in: int) -> Callable:
 
 _ACTS = {
     "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
+    "lrlu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.1),  # droid nets' act
     "relu": jax.nn.relu,
     "gelu": jax.nn.gelu,
     "elu": jax.nn.elu,
