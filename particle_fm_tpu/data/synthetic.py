@@ -1,0 +1,130 @@
+"""Synthetic particle-cloud generators with JetNet-compatible schema.
+
+Used for tests, benchmarks and offline development: this sandbox has no
+network egress and no `jetnet` package, so datamodules fall back to these
+generators when the real files are absent. The generator produces
+(particle_features (B, N, [etarel, phirel, ptrel, mask]),
+ jet_features (B, [type, pt, eta, mass, num_particles]))
+with physically plausible correlations (pt-ordered constituents, softer
+spectra at higher multiplicity), NOT physics-accurate distributions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+JET_TYPES = {"g": 0, "q": 1, "t": 2, "w": 3, "z": 4}
+
+
+def synthetic_jetnet(
+    jet_types: list[str],
+    num_jets: int = 10000,
+    num_particles: int = 30,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Generate a JetNet-like dataset for the given jet types."""
+    rs = np.random.RandomState(seed)
+    per_type = num_jets // len(jet_types)
+    parts, jets = [], []
+    for jt in jet_types:
+        label = JET_TYPES[jt]
+        n = per_type
+        # multiplicity: most jets near full, a tail of sparse ones
+        mult = np.clip(
+            (num_particles * rs.beta(5.0 if jt in "twz" else 3.0, 1.5, size=n)).astype(int),
+            3,
+            num_particles,
+        )
+        ar = np.arange(num_particles)[None, :]
+        mask = (ar < mult[:, None]).astype(np.float32)
+
+        # pt_rel: pt-ordered, exponential falloff, normalized to sum <= 1
+        raw = rs.exponential(1.0, size=(n, num_particles)) * mask
+        raw = -np.sort(-raw, axis=1)
+        ptrel = raw / np.maximum(raw.sum(axis=1, keepdims=True), 1e-9)
+
+        # angular spread: heavier jets have wider, two-prong-ish structure
+        width = 0.25 if jt in "twz" else 0.12
+        etarel = rs.normal(0, width, size=(n, num_particles)).astype(np.float32)
+        phirel = rs.normal(0, width, size=(n, num_particles)).astype(np.float32)
+        if jt in "twz":  # crude prong structure
+            prong = rs.choice([-1, 1], size=(n, num_particles))
+            etarel += 0.2 * prong
+            phirel += 0.1 * prong
+
+        etarel *= mask
+        phirel *= mask
+        ptrel = (ptrel * mask).astype(np.float32)
+        particle = np.stack([etarel, phirel, ptrel, mask], axis=-1)
+
+        jet_pt = rs.uniform(800, 1600, size=n).astype(np.float32)
+        jet_eta = rs.normal(0, 1.5, size=n).astype(np.float32)
+        base_mass = {"g": 80, "q": 60, "t": 175, "w": 80, "z": 91}[jt]
+        jet_mass = (base_mass + rs.normal(0, base_mass * 0.1, size=n)).astype(np.float32)
+        jet = np.stack(
+            [
+                np.full(n, label, np.float32),
+                jet_pt,
+                jet_eta,
+                jet_mass,
+                mult.astype(np.float32),
+            ],
+            axis=-1,
+        )
+        parts.append(particle)
+        jets.append(jet)
+
+    particle_data = np.concatenate(parts, axis=0)
+    jet_data = np.concatenate(jets, axis=0)
+    perm = rs.permutation(len(particle_data))
+    return particle_data[perm], jet_data[perm]
+
+
+def synthetic_lhco(
+    num_events: int = 5000, num_particles: int = 279, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """LHCO-like clustered dijets: (jet_data (B, 2, [pt,eta,phi,m]),
+    constituents (B, 2, N, [pt,eta,phi]), mask (B, 2, N, 1)).
+
+    mjj spans the reference's sideband+signal windows (2300-5000 GeV)."""
+    rs = np.random.RandomState(seed)
+    n = num_events
+    mjj = rs.uniform(2300, 5000, size=n)
+    pt1 = mjj / 2 * rs.uniform(0.85, 1.0, size=n)
+    pt2 = mjj / 2 * rs.uniform(0.7, 0.95, size=n)
+    jets = np.zeros((n, 2, 4), np.float32)
+    jets[:, 0] = np.stack([pt1, rs.normal(0, 1, n), rs.uniform(-np.pi, np.pi, n),
+                           rs.uniform(100, 600, n)], axis=-1)
+    jets[:, 1] = np.stack([pt2, rs.normal(0, 1, n), rs.uniform(-np.pi, np.pi, n),
+                           rs.uniform(100, 600, n)], axis=-1)
+
+    mult = np.clip(rs.poisson(60, size=(n, 2)), 3, num_particles)
+    ar = np.arange(num_particles)[None, None, :]
+    mask = (ar < mult[..., None]).astype(np.float32)[..., None]
+    raw = rs.exponential(1.0, size=(n, 2, num_particles)) * mask[..., 0]
+    raw = -np.sort(-raw, axis=-1)
+    ptrel = raw / np.maximum(raw.sum(axis=-1, keepdims=True), 1e-9)
+    pt = ptrel * jets[:, :, 0:1]
+    eta = jets[:, :, 1:2] + rs.normal(0, 0.3, size=(n, 2, num_particles)) * mask[..., 0]
+    phi = jets[:, :, 2:3] + rs.normal(0, 0.3, size=(n, 2, num_particles)) * mask[..., 0]
+    consts = np.stack([pt, eta, phi], axis=-1).astype(np.float32) * mask
+    return jets, consts, mask
+
+
+def synthetic_calo(
+    num_showers: int = 4000, max_hits: int = 200, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """CaloChallenge-like variable-length hit clouds: (x (B, N, [E,z,alpha,r]),
+    mask (B, N, 1), cond (B, 1) incident energy)."""
+    rs = np.random.RandomState(seed)
+    e_inc = rs.uniform(1.0, 1000.0, size=(num_showers, 1)).astype(np.float32)
+    mult = np.clip((max_hits * (e_inc[:, 0] / 1000.0) ** 0.5).astype(int), 5, max_hits)
+    ar = np.arange(max_hits)[None, :]
+    mask = (ar < mult[:, None]).astype(np.float32)[..., None]
+    e = rs.exponential(1.0, size=(num_showers, max_hits)).astype(np.float32)
+    e = e / e.sum(axis=1, keepdims=True) * e_inc
+    z = rs.uniform(0, 45, size=(num_showers, max_hits)).astype(np.float32)
+    alpha = rs.uniform(0, 2 * np.pi, size=(num_showers, max_hits)).astype(np.float32)
+    r = rs.exponential(3.0, size=(num_showers, max_hits)).astype(np.float32)
+    x = np.stack([e, z, alpha, r], axis=-1) * mask
+    return x, mask, e_inc

@@ -1,0 +1,106 @@
+"""Energy-flow polynomials (EFPs) — from-scratch, TPU-evaluated.
+
+The reference computes EFPs through energyflow (via jetnet.evaluation.w1efp,
+efpset (n==4, d==4, p==1)); neither package is available here, so this module
+implements the math directly:
+
+    EFP_G = sum_{i1..in} z_{i1} ... z_{in} * prod_{(a,b) in edges(G)} theta_{ia ib}
+
+with the hadronic measure: z_i = pT_i / sum_j pT_j (normed), and
+theta_ij = (dEta_ij^2 + dPhi_ij^2)^{beta/2}, beta = 1.
+
+Graphs are enumerated programmatically: all connected multigraphs with n
+vertices and d edges, deduplicated by brute-force isomorphism (n <= 4 makes
+4! = 24 permutations trivial). The contraction itself runs as one jitted
+batched einsum on the accelerator with an optimized path (the classic
+variable-elimination trick reduces e.g. the C4 cycle to O(N^3) matmuls that
+map straight onto the MXU) — the reference's CPU-side energyflow evaluation
+is the analogous host computation.
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=None)
+def enumerate_multigraphs(n: int, d: int) -> tuple[tuple[tuple[int, int], ...], ...]:
+    """All connected multigraphs with exactly n vertices and d edges, up to
+    isomorphism, every vertex touched by >= 1 edge. Returned as sorted edge
+    tuples."""
+    pairs = list(itertools.combinations(range(n), 2))
+    seen = set()
+    result = []
+    for combo in itertools.combinations_with_replacement(pairs, d):
+        verts = set()
+        for a, b in combo:
+            verts.add(a)
+            verts.add(b)
+        if len(verts) != n:
+            continue
+        # connectivity via union-find
+        parent = list(range(n))
+
+        def find(v):
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+
+        for a, b in combo:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        if len({find(v) for v in range(n)}) != 1:
+            continue
+        # canonical form over all vertex permutations
+        canon = min(
+            tuple(sorted(tuple(sorted((p[a], p[b]))) for a, b in combo))
+            for p in itertools.permutations(range(n))
+        )
+        if canon not in seen:
+            seen.add(canon)
+            result.append(canon)
+    return tuple(result)
+
+
+def _einsum_spec(edges: tuple[tuple[int, int], ...], n: int) -> str:
+    """Build the einsum spec: one theta (N,N) operand per edge + n z vectors,
+    all sharing a batch index."""
+    letters = "ijklmnop"
+    terms = [f"B{letters[a]}{letters[b]}" for a, b in edges]
+    terms += [f"B{letters[v]}" for v in range(n)]
+    return ",".join(terms) + "->B"
+
+
+@partial(jax.jit, static_argnames=("n", "d", "beta"))
+def _efps_device(eta, phi, pt, mask, n: int = 4, d: int = 4, beta: float = 1.0):
+    z = pt * mask
+    z = z / jnp.maximum(jnp.sum(z, axis=1, keepdims=True), 1e-30)
+    deta = eta[:, :, None] - eta[:, None, :]
+    dphi = phi[:, :, None] - phi[:, None, :]
+    theta2 = deta**2 + dphi**2
+    theta = theta2 ** (beta / 2.0) if beta != 2.0 else theta2
+    outs = []
+    for edges in enumerate_multigraphs(n, d):
+        spec = _einsum_spec(edges, n)
+        operands = [theta] * len(edges) + [z] * n
+        outs.append(jnp.einsum(spec, *operands, optimize=True))
+    return jnp.stack(outs, axis=-1)
+
+
+def efps(jets: np.ndarray, n: int = 4, d: int = 4, beta: float = 1.0) -> np.ndarray:
+    """EFPs for a batch of particle clouds.
+
+    jets: (B, N, >=3) with features (etarel, phirel, ptrel); zero-padded
+    particles contribute z=0 and drop out exactly. Returns (B, n_graphs)."""
+    jets = np.asarray(jets, np.float64).astype(np.float32)
+    eta, phi, pt = jets[..., 0], jets[..., 1], jets[..., 2]
+    mask = (np.abs(eta) + np.abs(phi) + np.abs(pt) != 0).astype(np.float32)
+    out = _efps_device(jnp.asarray(eta), jnp.asarray(phi), jnp.asarray(pt), jnp.asarray(mask), n=n, d=d, beta=beta)
+    return np.asarray(out)

@@ -1,0 +1,177 @@
+"""Training driver: epochs, validation, eval callbacks, checkpoints, logging.
+
+The TPU-native counterpart of the reference's Lightning Trainer usage
+(particle_fm/train.py:42-121): one jitted train step (parallel/train.py) runs
+over shuffled fixed-shape batches; validation uses a fixed seed (the
+reference fixes torch seed 9999 per val epoch, flow_matching_module.py:555);
+eval callbacks fire on an epoch schedule and their metrics drive
+metric-keyed checkpoints; everything logs to CSV + stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from particle_fm_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from particle_fm_tpu.parallel.train import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from particle_fm_tpu.training.checkpoint import CheckpointManager
+
+VAL_SEED = 9999  # parity: fixed validation seed
+
+
+@dataclass
+class Trainer:
+    model: object
+    datamodule: object
+    optimizer: object
+    max_epochs: int = 10
+    ema_decay: float = 0.999
+    ema_every_n: int = 1
+    ema_start_step: int = 0
+    check_val_every_n_epoch: int = 1
+    callbacks: Sequence[Callable] = field(default_factory=list)
+    ckpt_dir: Optional[str] = None
+    ckpt_monitors: dict = field(default_factory=lambda: {"val_loss": "min"})
+    ckpt_top_k: int = 1
+    save_last_every_n_epoch: int = 10
+    log_dir: Optional[str] = None
+    seed: int = 0
+    verbose: bool = True
+    mesh: object = None
+
+    # populated at runtime
+    state: TrainState = None
+    epoch: int = 0
+    metrics_history: list = field(default_factory=list)
+
+    def __post_init__(self):
+        if self.mesh is None:
+            self.mesh = make_mesh()
+        self.train_step = make_train_step(
+            self.model,
+            self.optimizer,
+            ema_decay=self.ema_decay,
+            ema_every_n=self.ema_every_n,
+            ema_start_step=self.ema_start_step,
+            mesh=self.mesh,
+        )
+        self.eval_step = make_eval_step(self.model, mesh=self.mesh)
+        self.ckpt = (
+            CheckpointManager(self.ckpt_dir, self.ckpt_monitors, self.ckpt_top_k)
+            if self.ckpt_dir
+            else None
+        )
+        if self.log_dir:
+            os.makedirs(self.log_dir, exist_ok=True)
+
+    # ------------------------------------------------------------- helpers
+    def _log(self, metrics: dict) -> None:
+        metrics = {"epoch": self.epoch, **metrics}
+        self.metrics_history.append(metrics)
+        if self.log_dir:
+            with open(os.path.join(self.log_dir, "metrics.jsonl"), "a") as f:
+                f.write(json.dumps({k: float(v) for k, v in metrics.items()}) + "\n")
+        if self.verbose:
+            msg = " ".join(
+                f"{k}={v:.5g}" if isinstance(v, (int, float, np.floating)) else f"{k}={v}"
+                for k, v in metrics.items()
+            )
+            print(f"[trainer] {msg}", flush=True)
+
+    def _shard(self, batch):
+        x, mask, cond = batch
+        return shard_batch(
+            (
+                jnp.asarray(x),
+                jnp.asarray(mask) if mask is not None else None,
+                jnp.asarray(cond) if cond is not None else None,
+            ),
+            self.mesh,
+        )
+
+    # ---------------------------------------------------------------- fit
+    def fit(self, resume_from: str | None = None) -> TrainState:
+        state = create_train_state(self.model, jax.random.PRNGKey(self.seed), self.optimizer)
+        if resume_from:
+            if self.ckpt is None:
+                raise ValueError("resume_from requires ckpt_dir")
+            state = self.ckpt.restore(resume_from, state)
+            if self.verbose:
+                print(f"[trainer] resumed from {resume_from} at step {int(state.step)}")
+        state = replicate(state, self.mesh)
+        self.state = state
+        rng = jax.random.PRNGKey(self.seed + 1)
+
+        start_epoch = int(np.asarray(state.step)) // max(self.datamodule.steps_per_epoch, 1)
+        for epoch in range(start_epoch, self.max_epochs):
+            self.epoch = epoch
+            t0 = time.perf_counter()
+            losses = []
+            for batch in self.datamodule.train_batches(seed=self.seed + epoch):
+                self.state, loss = self.train_step(self.state, rng, *self._shard(batch))
+                losses.append(loss)
+            train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else np.nan
+            metrics = {"train_loss": train_loss, "epoch_time": time.perf_counter() - t0}
+
+            if (epoch + 1) % self.check_val_every_n_epoch == 0:
+                metrics["val_loss"] = self.validate()
+
+            # eval callbacks may add metrics (e.g. w1m_mean) and drive ckpts
+            for cb in self.callbacks:
+                out = cb(self)
+                if out:
+                    metrics.update(out)
+
+            self._log(metrics)
+
+            if self.ckpt is not None:
+                for monitor in self.ckpt_monitors:
+                    if monitor in metrics:
+                        self.ckpt.save_metric(
+                            self.state, monitor, float(metrics[monitor]), int(np.asarray(self.state.step))
+                        )
+                if (epoch + 1) % self.save_last_every_n_epoch == 0 or epoch == self.max_epochs - 1:
+                    self.ckpt.save_last(self.state)
+        return self.state
+
+    # ------------------------------------------------------------ validate
+    def validate(self) -> float:
+        rng = jax.random.PRNGKey(VAL_SEED)
+        losses = []
+        for batch in self.datamodule.val_batches():
+            if batch[0].shape[0] % self.mesh.shape["data"] != 0:
+                continue  # ragged tail cannot shard evenly; skip like drop_last
+            losses.append(np.asarray(self.eval_step(self.state, rng, *self._shard(batch))))
+        return float(np.mean(losses)) if losses else np.nan
+
+    # ---------------------------------------------------------------- test
+    def test(self, ckpt: str = "best", monitor: str | None = None) -> dict:
+        """Run the final-eval callbacks on the best/last checkpoint."""
+        if self.ckpt is not None:
+            path = (
+                self.ckpt.best_path(monitor or next(iter(self.ckpt_monitors)))
+                if ckpt == "best"
+                else self.ckpt.last_path()
+            )
+            if path is not None:
+                self.state = self.ckpt.restore(path, self.state)
+        results = {}
+        for cb in self.callbacks:
+            if getattr(cb, "on_test", False):
+                out = cb(self)
+                if out:
+                    results.update(out)
+        return results
