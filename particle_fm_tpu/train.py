@@ -1,0 +1,118 @@
+"""Training entry point.
+
+    python -m particle_fm_tpu.train experiment=jetnet/fm_tops30_cond [key=value ...]
+
+Parity with the reference's particle_fm/train.py:42-121: compose config ->
+snapshot the resolved config into the run dir -> instantiate datamodule /
+model / callbacks -> fit -> optional test on the best checkpoint -> return
+metrics. TPU specifics: builds the device mesh up front and converts
+epoch-denominated LR schedules using the datamodule's steps_per_epoch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from particle_fm_tpu.config.core import compose, instantiate, save_config
+from particle_fm_tpu.parallel.mesh import make_mesh
+from particle_fm_tpu.parallel.train import make_optimizer
+from particle_fm_tpu.training.lr_schedules import (
+    cosine_warmup_schedule,
+    onecycle_cooldown_schedule,
+    warmup_to_constant_schedule,
+)
+from particle_fm_tpu.training.trainer import Trainer
+
+CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
+
+
+def build_lr(optimizer_cfg: dict, scheduler_cfg: dict | None, steps_per_epoch: int):
+    lr = optimizer_cfg.get("lr", 1e-3)
+    if not scheduler_cfg:
+        return lr
+    name = scheduler_cfg.get("name")
+    if name == "cosine_warmup":
+        return cosine_warmup_schedule(
+            lr, scheduler_cfg["warmup"], scheduler_cfg["max_iters"], steps_per_epoch
+        )
+    if name == "warmup_to_constant":
+        return warmup_to_constant_schedule(
+            lr, scheduler_cfg.get("num_steps", 100), steps_per_epoch
+        )
+    if name == "onecycle_cooldown":
+        kw = {k: v for k, v in scheduler_cfg.items() if k != "name"}
+        return onecycle_cooldown_schedule(lr, steps_per_epoch=steps_per_epoch, **kw)
+    if name in (None, "none", "constant"):
+        return lr
+    raise ValueError(f"unknown scheduler {name}")
+
+
+def train(cfg: dict) -> tuple[dict, dict]:
+    """Returns (metrics, objects) like the reference's train()."""
+    out_dir = os.path.join(
+        cfg.get("output_dir", "runs/train"), time.strftime("%Y-%m-%d_%H-%M-%S")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    save_config(cfg, os.path.join(out_dir, "config.yaml"))
+    print(f"[train] run dir: {out_dir}", flush=True)
+
+    dm = instantiate(cfg["data"])
+    dm.setup()
+
+    model_cfg = dict(cfg["model"])
+    optimizer_cfg = model_cfg.pop("optimizer", {})
+    scheduler_cfg = model_cfg.pop("scheduler", None)
+    model = instantiate(model_cfg)
+
+    trainer_cfg = dict(cfg.get("trainer", {}))
+    lr = build_lr(optimizer_cfg, scheduler_cfg, max(dm.steps_per_epoch, 1))
+    optimizer = make_optimizer(
+        lr=lr,
+        weight_decay=optimizer_cfg.get("weight_decay", 5e-5),
+        grad_clip=trainer_cfg.pop("grad_clip", 0.5),
+    )
+
+    callbacks = list(instantiate(cfg.get("callbacks", {}) or {}).values())
+    ema_cfg = trainer_cfg.pop("ema", {})
+
+    trainer = Trainer(
+        model=model,
+        datamodule=dm,
+        optimizer=optimizer,
+        callbacks=callbacks,
+        ema_decay=ema_cfg.get("decay", 0.999),
+        ema_every_n=ema_cfg.get("every_n", 1),
+        ema_start_step=ema_cfg.get("start_step", 0),
+        ckpt_dir=os.path.join(out_dir, "checkpoints"),
+        log_dir=out_dir,
+        seed=cfg.get("seed", 0),
+        mesh=make_mesh(),
+        **trainer_cfg,
+    )
+
+    metrics = {}
+    if cfg.get("train", True):
+        trainer.fit(resume_from=cfg.get("ckpt_path"))
+        if trainer.metrics_history:
+            metrics.update(trainer.metrics_history[-1])
+    if cfg.get("test", False):
+        monitor = "w1m_mean" if "w1m_mean" in trainer.ckpt_monitors else None
+        metrics.update(trainer.test(ckpt="best", monitor=monitor))
+    save_config(
+        {k: float(v) for k, v in metrics.items() if isinstance(v, (int, float))},
+        os.path.join(out_dir, "final_metrics.yaml"),
+    )
+    return metrics, {"trainer": trainer, "model": model, "datamodule": dm, "out_dir": out_dir}
+
+
+def main(argv: list[str] | None = None) -> dict:
+    argv = argv if argv is not None else sys.argv[1:]
+    cfg = compose(CONFIG_DIR, "train", overrides=list(argv))
+    metrics, _ = train(cfg)
+    return metrics
+
+
+if __name__ == "__main__":
+    main()
