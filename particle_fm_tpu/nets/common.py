@@ -104,6 +104,73 @@ class WNDense(nn.Module):
         return y
 
 
+class WNDenseSplit(nn.Module):
+    """Weight-norm Dense over a concat of per-particle and per-set segments,
+    WITHOUT materializing the concat.
+
+    The EPiC nets feed cat(t_emb, x_local, global2local, cond) into each
+    local Dense, where every segment except x_local is constant across the
+    particle axis. Materializing that (B, N, in_total) concat costs more HBM
+    traffic than the matmul itself on TPU. This module keeps the exact
+    parameter layout of WNDense on the concatenated input (one kernel of
+    shape (in_total, out), same init, same weight-norm over full columns) but
+    computes:  out = x @ W_x  +  broadcast(cat(set_segments) @ W_set)  + b,
+    i.e. one large per-particle matmul + one tiny per-set matmul.
+
+    Call with `segments`: list of (array, kind) in concat order, kind in
+    {"set", "particle"}; "set" arrays are (B, k), "particle" arrays (B, N, k).
+    """
+
+    features: int
+    use_weight_norm: bool = True
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, segments) -> jnp.ndarray:
+        segments = [(a, kind) for a, kind in segments if a is not None and a.shape[-1] > 0]
+        fan_in = sum(a.shape[-1] for a, _ in segments)
+        v = self.param(
+            "kernel", torch_linear_init(fan_in), (fan_in, self.features), self.param_dtype
+        )
+        if self.use_weight_norm:
+            g = self.param("g", lambda rng, vv: jnp.linalg.norm(vv, axis=0), v)
+            col_norm = jnp.linalg.norm(v, axis=0, keepdims=True)
+            w = v * (g[None, :] / jnp.maximum(col_norm, 1e-12))
+        else:
+            w = v
+        if self.dtype is not None:
+            w = w.astype(self.dtype)
+
+        out = None
+        set_parts, set_ws = [], []
+        row = 0
+        for a, kind in segments:
+            k = a.shape[-1]
+            w_seg = w[row : row + k]
+            row += k
+            if kind == "particle":
+                a = a.astype(w.dtype) if self.dtype is not None else a
+                part = a @ w_seg
+                out = part if out is None else out + part
+            else:
+                set_parts.append(a.astype(w.dtype) if self.dtype is not None else a)
+                set_ws.append(w_seg)
+        if set_parts:
+            set_in = jnp.concatenate(set_parts, axis=-1) if len(set_parts) > 1 else set_parts[0]
+            set_w = jnp.concatenate(set_ws, axis=0) if len(set_ws) > 1 else set_ws[0]
+            set_out = set_in @ set_w  # (B, out) — tiny
+            set_out = set_out[..., None, :]
+            out = set_out if out is None else out + set_out
+        if self.use_bias:
+            b = self.param("bias", torch_linear_init(fan_in), (self.features,), self.param_dtype)
+            if self.dtype is not None:
+                b = b.astype(w.dtype)
+            out = out + b
+        return out
+
+
 def cat(*parts: jnp.ndarray | None) -> jnp.ndarray:
     """Concatenate along the last axis, skipping None/zero-width parts.
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from particle_fm_tpu.nets.common import WNDense, cat, get_act
+from particle_fm_tpu.nets.common import WNDense, WNDenseSplit, cat, get_act
 from particle_fm_tpu.ops.masked import meansum_pool
 
 
@@ -54,17 +54,19 @@ class EPiCLayer(nn.Module):
         act = get_act(self.activation)
         n = x_local.shape[-2]
 
-        t_local = t if self.t_local_cat else None
+        # t is constant across the particle axis in this framework (per-set
+        # time), so the local path consumes its per-set slice — this is what
+        # lets the concat-free split Denses below work
+        t_set = t[..., 0, :] if (self.t_local_cat and t is not None) else None
         t_global = t[..., 0, :] if (self.t_global_cat and t is not None) else None
         g_cond = cond if self.global_cond_dim > 0 else None
-        l_cond = (
-            jnp.broadcast_to(cond[..., None, :], cond.shape[:-1] + (n, cond.shape[-1]))
-            if (self.local_cond_dim > 0 and cond is not None)
-            else None
-        )
+        l_cond = cond if (self.local_cond_dim > 0 and cond is not None) else None
 
         wn = self.use_weight_norm
         dense = lambda feats, name: WNDense(
+            feats, use_weight_norm=wn, dtype=self.dtype, name=name
+        )
+        sdense = lambda feats, name: WNDenseSplit(
             feats, use_weight_norm=wn, dtype=self.dtype, name=name
         )
 
@@ -79,16 +81,20 @@ class EPiCLayer(nn.Module):
         )
         x_global = nn.Dropout(self.dropout, deterministic=deterministic)(x_global)
 
-        # broadcast global state to every particle
-        g2l = jnp.broadcast_to(
-            x_global[..., None, :], x_global.shape[:-1] + (n, x_global.shape[-1])
+        # local MLPs (second has a residual connection before the activation).
+        # concat order matches the reference (t, x, global2local, cond); the
+        # per-set segments ride a tiny (B, k) matmul instead of being
+        # broadcast-materialized per particle.
+        x_local1 = act(
+            sdense(self.hid_dim, "fc_local1")(
+                [(t_set, "set"), (x_local, "particle"), (x_global, "set"), (l_cond, "set")]
+            )
         )
-
-        # local MLPs (second has a residual connection before the activation)
-        l_in = cat(t_local, x_local, g2l, l_cond)
-        x_local1 = act(dense(self.hid_dim, "fc_local1")(l_in))
         x_local = act(
-            dense(self.hid_dim, "fc_local2")(cat(t_local, x_local1, l_cond)) + x_local
+            sdense(self.hid_dim, "fc_local2")(
+                [(t_set, "set"), (x_local1, "particle"), (l_cond, "set")]
+            )
+            + x_local
         )
         x_local = nn.Dropout(self.dropout, deterministic=deterministic)(x_local)
 
@@ -129,23 +135,27 @@ class EPiCEncoder(nn.Module):
         act = get_act(self.activation)
         n = x.shape[-2]
 
-        t_local = t if self.t_local_cat else None
+        t_set = t[..., 0, :] if (self.t_local_cat and t is not None) else None
         t_global = t[..., 0, :] if (self.t_global_cat and t is not None) else None
         g_cond = cond if self.global_cond_dim > 0 else None
-        l_cond = (
-            jnp.broadcast_to(cond[..., None, :], cond.shape[:-1] + (n, cond.shape[-1]))
-            if (self.local_cond_dim > 0 and cond is not None)
-            else None
-        )
+        l_cond = cond if (self.local_cond_dim > 0 and cond is not None) else None
 
         wn = self.use_weight_norm
         dense = lambda feats, name: WNDense(
             feats, use_weight_norm=wn, dtype=self.dtype, name=name
         )
+        sdense = lambda feats, name: WNDenseSplit(
+            feats, use_weight_norm=wn, dtype=self.dtype, name=name
+        )
 
-        # input local MLPs (second with residual)
-        h = act(dense(self.hid_dim, "fc_l1")(cat(t_local, x, l_cond)))
-        h = act(dense(self.hid_dim, "fc_l2")(cat(t_local, h, l_cond)) + h)
+        # input local MLPs (second with residual); concat-free split Denses
+        h = act(
+            sdense(self.hid_dim, "fc_l1")([(t_set, "set"), (x, "particle"), (l_cond, "set")])
+        )
+        h = act(
+            sdense(self.hid_dim, "fc_l2")([(t_set, "set"), (h, "particle"), (l_cond, "set")])
+            + h
+        )
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
 
         # pooled global init: cat(scaled_sum, mean) -> two MLPs (no residual)
@@ -172,7 +182,9 @@ class EPiCEncoder(nn.Module):
             )(t, g, h, cond=cond, mask=mask, deterministic=deterministic)
 
         # output head
-        out = act(dense(self.feats, "fc_l3")(cat(t_local, h, l_cond)))
+        out = act(
+            sdense(self.feats, "fc_l3")([(t_set, "set"), (h, "particle"), (l_cond, "set")])
+        )
         if mask is not None:
             out = out * mask
         return out
