@@ -21,6 +21,10 @@ import json
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/particle_fm_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 
 from particle_fm_tpu.models.flow_matching import FlowMatchingModel
@@ -43,6 +47,9 @@ def main():
         layers=6,
         frequencies=16,
         t_emb="cosine",
+        t_local_cat=True,
+        t_global_cat=True,
+        add_time_to_input=False,
         loss_type="FM-OT",
         sigma=1e-4,
         dtype=jnp.bfloat16,
