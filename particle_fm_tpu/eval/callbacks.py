@@ -21,6 +21,62 @@ from particle_fm_tpu.training.logging_scheduler import should_log
 
 
 @dataclass
+class FlatEvalCallback:
+    """Eval for flat-vector models (LHCO stage-1 jet features): per-feature
+    W1 between generated and held-out vectors. Parity skeleton:
+    callbacks/lhco/lhco_jet_features_eval.py."""
+
+    every_n_epochs: int | str = 10
+    num_samples: int = 10000
+    generation_batch_size: int = 1024
+    w1_num_batches: int = 5
+    use_ema: bool = True
+    ode_steps: int = 100
+    split: str = "test"
+    on_test: bool = False
+    seed: int = 9999
+
+    def __call__(self, trainer) -> Optional[dict]:
+        if not should_log(self.every_n_epochs, trainer.epoch):
+            return None
+        import jax as _jax
+        import numpy as _np
+
+        from particle_fm_tpu.data.utils import inverse_normalize_tensor
+        from particle_fm_tpu.eval.metrics import wasserstein_distance_batched
+
+        dm = trainer.datamodule
+        real = getattr(dm, f"tensor_{self.split}")
+        cond = getattr(dm, f"tensor_conditioning_{self.split}")
+        n = min(self.num_samples, len(real))
+        variables = _jax.device_get(trainer.state.variables(ema=self.use_ema))
+        chunks = []
+        rng = _jax.random.PRNGKey(self.seed)
+        for lo in range(0, n, self.generation_batch_size):
+            hi = min(lo + self.generation_batch_size, n)
+            rng, sub = _jax.random.split(rng)
+            c = cond[lo:hi] if cond is not None else None
+            out = trainer.model.sample(
+                variables, sub, n_samples=hi - lo, cond=c, ode_steps=self.ode_steps
+            )
+            chunks.append(_np.asarray(out))
+        gen = _np.concatenate(chunks, axis=0)
+        if dm.means is not None:
+            gen = inverse_normalize_tensor(
+                gen, dm.means, dm.stds, getattr(dm, "normalize_sigma", 5)
+            )
+        n_eval = min(n, len(real))
+        w1s = [
+            wasserstein_distance_batched(
+                real[:n, f], gen[:, f], num_eval_samples=min(n_eval, 5000),
+                num_batches=self.w1_num_batches,
+            )[0]
+            for f in range(real.shape[-1])
+        ]
+        return {"w1_features_mean": float(np.mean(w1s))}
+
+
+@dataclass
 class JetNetEvalCallback:
     """In-training eval: W1M/W1P(/W1EFP) on generated vs held-out jets."""
 

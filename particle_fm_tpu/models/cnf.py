@@ -94,7 +94,9 @@ class CNF(nn.Module):
         elif self.model == "mdma":
             from particle_fm_tpu.nets.mdma import MDMA
 
-            self.net = MDMA(dtype=self.dtype, **dict(self.net_config))
+            cfg = dict(self.net_config)
+            cfg.setdefault("out_features", self.features)
+            self.net = MDMA(dtype=self.dtype, **cfg)
         else:
             raise NotImplementedError(f"Model {self.model} not implemented.")
 

@@ -9,6 +9,7 @@ conditional MLP vector field over flat features with a sincos time embedding
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any
 
 import jax
@@ -83,6 +84,7 @@ class FlatFlowMatchingModel:
         # reference training passes mask=None for flat data (loss uses x shape)
         return fm_ot_loss(vf, rng, x, None, cond, sigma=self.sigma), {}
 
+    @partial(jax.jit, static_argnames=("self", "n_samples", "ode_solver", "ode_steps"))
     def sample(
         self,
         variables,

@@ -81,6 +81,9 @@ class MDMABlock(nn.Module):
 class MDMA(nn.Module):
     """Stack of MDMA blocks; output is a single feature per particle."""
 
+    out_features: int = 1  # reference hard-codes 1 (energy); set = features
+    # for a full flow over (E, z, alpha, r) — the reference's fm_mdma config
+    # silently broadcasts its 1-dim output against 4-dim targets
     latent: int = 16
     hidden_dim: int = 256
     layers: int = 16
@@ -139,5 +142,5 @@ class MDMA(nn.Module):
 
         if self.local_cat_cond:
             x = cat(x, jnp.broadcast_to(cond[..., -1:][:, None, :], x.shape[:-1] + (1,)))
-        x = dense(1, "out")(act(x))
+        x = dense(self.out_features, "out")(act(x))
         return x * mask

@@ -57,7 +57,8 @@ def test_group_override_via_cli():
     ],
 )
 def test_every_experiment_composes_and_instantiates(exp):
-    cfg = compose(CONFIG_DIR, "train", [f"experiment={exp}", "data.synthetic=true"])
+    # instantiation only (no setup): no data files needed
+    cfg = compose(CONFIG_DIR, "train", [f"experiment={exp}"])
     dm = instantiate(cfg["data"])
     assert dm is not None
     model_cfg = dict(cfg["model"])
