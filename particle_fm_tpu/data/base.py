@@ -68,7 +68,8 @@ class ArrayDataModule:
         for s in range(0, stop, self.batch_size):
             sel = idx[s : s + self.batch_size]
             cond = split.cond[sel] if split.cond is not None else None
-            yield split.x[sel], split.mask[sel], cond
+            mask = split.mask[sel] if split.mask is not None else None
+            yield split.x[sel], mask, cond
 
     def train_batches(self, seed: int = 0) -> Iterator[tuple]:
         """One shuffled epoch of fixed-shape train batches (last partial

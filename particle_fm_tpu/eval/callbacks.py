@@ -21,6 +21,43 @@ from particle_fm_tpu.training.logging_scheduler import should_log
 
 
 @dataclass
+class ClassifierEvalCallback:
+    """Accuracy/AUROC on the test split for classifier models (the
+    gen-vs-real 'classifier test'; parity: epic_classifier.py:66-83)."""
+
+    every_n_epochs: int | str = 1
+    batch_size: int = 1024
+    on_test: bool = True
+    use_ema: bool = False
+
+    def __call__(self, trainer) -> Optional[dict]:
+        if not should_log(self.every_n_epochs, trainer.epoch):
+            return None
+        import jax as _jax
+        import numpy as _np
+
+        from particle_fm_tpu.models.classifiers import binary_metrics
+
+        dm = trainer.datamodule
+        variables = _jax.device_get(trainer.state.variables(ema=self.use_ema))
+        probs, labels = [], []
+        for x, mask, cond in dm.test_batches():
+            p = trainer.model.predict(
+                variables,
+                _jax.numpy.asarray(x),
+                mask=_jax.numpy.asarray(mask) if mask is not None else None,
+            )
+            probs.append(_np.asarray(p))
+            labels.append(_np.asarray(cond).reshape(-1))
+        probs = _np.concatenate(probs)
+        labels = _np.concatenate(labels)
+        if probs.ndim > 1:  # multiclass: accuracy only
+            acc = float((probs.argmax(-1) == labels).mean())
+            return {"accuracy": acc}
+        return binary_metrics(probs, labels)
+
+
+@dataclass
 class FlatEvalCallback:
     """Eval for flat-vector models (LHCO stage-1 jet features): per-feature
     W1 between generated and held-out vectors. Parity skeleton:

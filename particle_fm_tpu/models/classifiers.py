@@ -1,0 +1,154 @@
+"""Classifier models for the gen-vs-real evaluation tests.
+
+Parity:
+  - EPiCClassifier: particle_fm/models/epic_classifier.py:40-223 — binary
+    classifier (generated vs real) on point clouds, BCE loss, Accuracy/AUROC.
+  - HLClassifier: models/hl_classifier.py:40-232 — "cathode" MLP on
+    high-level features.
+  - JetClassClassifier: models/jetclass_classifiers.py — the reference wraps
+    ParticleTransformer/ParticleNet imported from the external weaver-core
+    package (hard-coded sys.path); here the transformer-based classifier is
+    built from the in-repo Normformer encoder + attention pooling, and the
+    EPiC classifier variant is native. 10-class CE with optional fine-tuning
+    (reinitialise the final head).
+
+All expose the Trainer-compatible interface: init / loss(variables, rng, x,
+mask, cond, train) -> (scalar, aux) with cond = labels, plus predict().
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+from flax.core import FrozenDict
+
+from particle_fm_tpu.nets.epic import EPiCDiscriminator
+from particle_fm_tpu.nets.mlp import CathodeClassifier
+from particle_fm_tpu.nets.transformer import DenseNetwork, FullTransformerEncoder
+from particle_fm_tpu.ops.masked import masked_mean
+
+
+class TransformerClassifierNet(nn.Module):
+    """Normformer encoder + masked mean pooling + dense head (n_classes)."""
+
+    n_classes: int = 10
+    te_config: Mapping[str, Any] = FrozenDict()
+    head_config: Mapping[str, Any] = FrozenDict()
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, cond=None, deterministic: bool = True):
+        te_cfg = dict(self.te_config) or {"model_dim": 128, "num_layers": 3}
+        model_dim = te_cfg.get("model_dim", 128)
+        h = DenseNetwork(outp_dim=model_dim, dtype=self.dtype, name="embed")(
+            x, deterministic=deterministic
+        )
+        from particle_fm_tpu.nets.transformer import TransformerEncoder
+
+        h = TransformerEncoder(dtype=self.dtype, name="encoder", **te_cfg)(
+            h, mask=mask[..., 0] if mask is not None else None, deterministic=deterministic
+        )
+        pooled = masked_mean(h, mask)
+        return DenseNetwork(
+            outp_dim=self.n_classes, dtype=self.dtype, name="head", **dict(self.head_config)
+        )(pooled, deterministic=deterministic)
+
+
+@dataclasses.dataclass(eq=False)
+class SetClassifierModel:
+    """Set classifier (binary or multiclass) over (x, mask) with labels in cond."""
+
+    arch: str = "epic"  # "epic" | "transformer"
+    n_classes: int = 1  # 1 => binary with BCE logits; >1 => softmax CE
+    num_particles: int = 150
+    features: int = 3
+    net_config: Mapping[str, Any] = dataclasses.field(default_factory=dict)
+    dtype: Any = None
+
+    def __post_init__(self):
+        if self.arch == "epic":
+            cfg = dict(self.net_config)
+            cfg.setdefault("hid_dim", 128)
+            cfg.setdefault("latent_dim", 10)
+            cfg.setdefault("equiv_layers", 3)
+            cfg["out_dim"] = max(self.n_classes, 1)
+            self.module = EPiCDiscriminator(dtype=self.dtype, **cfg)
+        elif self.arch == "transformer":
+            self.module = TransformerClassifierNet(
+                n_classes=max(self.n_classes, 1), dtype=self.dtype, **dict(self.net_config)
+            )
+        else:
+            raise ValueError(f"unknown classifier arch {self.arch}")
+
+    def init(self, rng: jax.Array, batch_size: int = 2) -> dict:
+        x = jnp.zeros((batch_size, self.num_particles, self.features))
+        mask = jnp.ones((batch_size, self.num_particles, 1))
+        return dict(self.module.init(rng, x, mask=mask))
+
+    def logits(self, variables, x, mask=None):
+        return self.module.apply(variables, x, mask=mask)
+
+    def loss(self, variables, rng, x, mask=None, cond=None, train: bool = False):
+        logits = self.module.apply(variables, x, mask=mask)
+        labels = cond
+        if self.n_classes == 1:
+            labels = labels.reshape(logits.shape).astype(logits.dtype)
+            loss = optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+        else:
+            if labels.ndim == 2 and labels.shape[-1] == self.n_classes:
+                labels = jnp.argmax(labels, axis=-1)
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels.astype(jnp.int32).reshape(-1)
+            ).mean()
+        return loss, {}
+
+    @partial(jax.jit, static_argnames=("self",))
+    def predict(self, variables, x, mask=None):
+        """Probabilities: sigmoid (binary) or softmax (multiclass)."""
+        logits = self.module.apply(variables, x, mask=mask)
+        if self.n_classes == 1:
+            return jax.nn.sigmoid(logits)[..., 0]
+        return jax.nn.softmax(logits, axis=-1)
+
+
+@dataclasses.dataclass(eq=False)
+class HLClassifierModel:
+    """Cathode MLP classifier on flat high-level features (binary)."""
+
+    features: int = 4
+    layers: tuple = (64, 64, 64)
+    dtype: Any = None
+
+    def __post_init__(self):
+        self.module = CathodeClassifier(layers=self.layers, dtype=self.dtype)
+
+    def init(self, rng: jax.Array, batch_size: int = 2) -> dict:
+        return dict(self.module.init(rng, jnp.zeros((batch_size, self.features))))
+
+    def loss(self, variables, rng, x, mask=None, cond=None, train: bool = False):
+        logits = self.module.apply(variables, x)
+        labels = cond.reshape(logits.shape).astype(logits.dtype)
+        return optax.sigmoid_binary_cross_entropy(logits, labels).mean(), {}
+
+    @partial(jax.jit, static_argnames=("self",))
+    def predict(self, variables, x, mask=None):
+        return jax.nn.sigmoid(self.module.apply(variables, x))[..., 0]
+
+
+def binary_metrics(probs, labels) -> dict:
+    """Accuracy + AUROC on the host (sklearn), like torchmetrics in the
+    reference (epic_classifier.py:66-83)."""
+    import numpy as np
+    from sklearn.metrics import roc_auc_score
+
+    probs = np.asarray(probs)
+    labels = np.asarray(labels).reshape(-1)
+    acc = float(((probs > 0.5) == (labels > 0.5)).mean())
+    auc = float(roc_auc_score(labels, probs))
+    return {"accuracy": acc, "auroc": auc}

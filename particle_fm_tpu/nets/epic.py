@@ -208,6 +208,7 @@ class EPiCDiscriminator(nn.Module):
     sum_scale: float = 1e-2
     dropout: float = 0.0
     num_sup_sets: int = 1
+    out_dim: int = 1  # 1 logit (reference) or n_classes
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -255,5 +256,5 @@ class EPiCDiscriminator(nn.Module):
             g_final = g_final.reshape(-1, self.num_sup_sets * d)
         out = act(dense(self.hid_dim, "fc_d1")(g_final))
         out = act(dense(self.hid_dim, "fc_d2")(out) + out)
-        out = dense(1, "fc_out")(out)
+        out = dense(self.out_dim, "fc_out")(out)
         return out
