@@ -167,3 +167,82 @@ class JetNetEvalCallback:
         )
         w1["generation_time"] = gen_time
         return w1
+
+
+@dataclass
+class FinalEvalCallback(JetNetEvalCallback):
+    """Post-training final evaluation: oversampled generation, W1 metrics,
+    substructure W1 (tau21/tau32/d2), saved arrays, plots.
+
+    Parity: callbacks/jetnet_final_eval.py:37-438 (the on_test_end skeleton:
+    best/last EMA checkpoint selection happens in trainer.test()).
+    """
+
+    every_n_epochs: int | str = 1_000_000_000  # effectively test-only
+    num_samples_factor: float = 1.0  # N x dataset size (reference: -N)
+    save_dir: Optional[str] = None
+    compute_substructure: bool = True
+    make_plots: bool = True
+    on_test: bool = True
+
+    def __call__(self, trainer) -> Optional[dict]:
+        import os
+
+        from particle_fm_tpu.eval.substructure import compute_substructure
+        from particle_fm_tpu.eval.metrics import wasserstein_distance_batched
+
+        dm = trainer.datamodule
+        real, mask, cond = self._arrays(dm)
+        n = min(int(len(real) * self.num_samples_factor), len(real))
+        variables = jax.device_get(trainer.state.variables(ema=self.use_ema))
+        gen, gen_time = generate_data(
+            trainer.model,
+            variables,
+            num_jet_samples=n,
+            rng=jax.random.PRNGKey(self.seed),
+            batch_size=self.generation_batch_size,
+            cond=cond[:n] if cond is not None else None,
+            variable_set_sizes=dm.variable_jet_sizes,
+            mask=mask[:n] if mask is not None else None,
+            normalized_data=dm.means is not None,
+            normalize_sigma=getattr(dm, "normalize_sigma", 5),
+            means=dm.means,
+            stds=dm.stds,
+            ode_solver=self.ode_solver,
+            ode_steps=self.ode_steps,
+        )
+        out_dir = self.save_dir or trainer.log_dir or "."
+        os.makedirs(out_dir, exist_ok=True)
+        np.save(os.path.join(out_dir, "final_generated_data.npy"), gen)
+
+        metrics = calculate_all_wasserstein_metrics(
+            real[:n], gen, calculate_efps=self.calculate_efps, **self.w1_kwargs
+        )
+        metrics["generation_time"] = gen_time
+
+        if self.compute_substructure:
+            hlvs_real = compute_substructure(real[:n])
+            hlvs_gen = compute_substructure(gen)
+            n_eval = min(len(gen), 10_000)
+            for key in ("tau21", "tau32", "d2"):
+                mean, std = wasserstein_distance_batched(
+                    hlvs_real[key], hlvs_gen[key], num_eval_samples=n_eval, num_batches=5
+                )
+                metrics[f"w1_{key}_mean"] = mean
+                metrics[f"w1_{key}_std"] = std
+            if self.make_plots:
+                from particle_fm_tpu.eval.plotting import plot_substructure
+
+                plot_substructure(
+                    hlvs_real, hlvs_gen, os.path.join(out_dir, "substructure.png")
+                )
+        if self.make_plots:
+            from particle_fm_tpu.eval.plotting import plot_data
+
+            plot_data(real[:n], gen, os.path.join(out_dir, "final_comparison.png"))
+
+        import yaml
+
+        with open(os.path.join(out_dir, "final_eval_metrics.yml"), "w") as f:
+            yaml.safe_dump({k: float(v) for k, v in metrics.items()}, f)
+        return metrics
