@@ -1,0 +1,74 @@
+"""log_prob: the augmented-ODE likelihood must integrate to a proper density.
+
+Validation: train a small CFM model on a shifted/scaled Gaussian, then check
+that log_prob (a) is higher for in-distribution than out-of-distribution
+points, and (b) roughly matches the analytic log-density of the target."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from particle_fm_tpu.models.flow_matching import FlowMatchingModel
+from particle_fm_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from particle_fm_tpu.parallel.train import create_train_state, make_optimizer, make_train_step
+
+
+def test_log_prob_untrained_is_prior():
+    """At init the vf is ~random but small; for an identity-ish flow the
+    log_prob of the origin must beat a far-away point (prior dominates)."""
+    model = FlowMatchingModel(model="epic", features=2, num_particles=4,
+                              hidden_dim=8, latent=4, layers=1, frequencies=4)
+    variables = model.init(jax.random.PRNGKey(0))
+    mask = jnp.ones((2, 4, 1))
+    x_near = jnp.zeros((2, 4, 2))
+    x_far = jnp.ones((2, 4, 2)) * 6.0
+    lp_near = model.log_prob(variables, x_near, mask=mask, ode_steps=25)
+    lp_far = model.log_prob(variables, x_far, mask=mask, ode_steps=25)
+    assert np.isfinite(np.asarray(lp_near)).all()
+    assert (np.asarray(lp_near) > np.asarray(lp_far)).all()
+
+
+def test_log_prob_trained_matches_analytic(mesh):
+    """1-particle 1-feature sets: target N(2, 0.25). After training, log_prob
+    should approximate the analytic density up to modest tolerance."""
+    model = FlowMatchingModel(model="epic", features=1, num_particles=1,
+                              hidden_dim=32, latent=8, layers=2, frequencies=6,
+                              loss_type="CFM", sigma=1e-4)
+    opt = make_optimizer(lr=2e-3)
+    state = replicate(create_train_state(model, jax.random.PRNGKey(0), opt), mesh)
+    step = make_train_step(model, opt, mesh=mesh)
+    rs = np.random.RandomState(0)
+    for i in range(500):
+        x = (rs.randn(256, 1, 1) * 0.5 + 2.0).astype(np.float32)
+        batch = shard_batch((jnp.asarray(x), jnp.ones((256, 1, 1)), None), mesh)
+        state, loss = step(state, jax.random.PRNGKey(1), *batch)
+
+    variables = jax.device_get(state.variables())
+    xs = np.array([1.0, 2.0, 3.0], np.float32).reshape(3, 1, 1)
+    lp = np.asarray(
+        model.log_prob(variables, jnp.asarray(xs), mask=jnp.ones((3, 1, 1)), ode_steps=50)
+    )
+    sigma = 0.5
+    analytic = -0.5 * ((xs[:, 0, 0] - 2.0) / sigma) ** 2 - np.log(sigma * np.sqrt(2 * np.pi))
+    # shape of the density: the mode (x=2) must dominate, values within ~0.5 nats
+    assert lp[1] > lp[0] and lp[1] > lp[2]
+    np.testing.assert_allclose(lp, analytic, atol=0.5)
+
+
+def test_log_prob_hutchinson_close_to_exact():
+    model = FlowMatchingModel(model="epic", features=2, num_particles=3,
+                              hidden_dim=8, latent=4, layers=1, frequencies=4)
+    variables = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 2))
+    mask = jnp.ones((4, 3, 1))
+    lp_exact = np.asarray(model.log_prob(variables, x, mask=mask, ode_steps=20, exact=True))
+    # average a few Hutchinson draws
+    lps = [
+        np.asarray(
+            model.log_prob(variables, x, mask=mask, ode_steps=20, exact=False,
+                           rng=jax.random.PRNGKey(10 + i))
+        )
+        for i in range(8)
+    ]
+    lp_hutch = np.mean(lps, axis=0)
+    np.testing.assert_allclose(lp_hutch, lp_exact, atol=0.35)
