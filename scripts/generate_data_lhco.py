@@ -1,0 +1,156 @@
+"""Two-stage LHCO generation pipeline (offline driver).
+
+    python scripts/generate_data_lhco.py --stage1_run <dir> --stage2_run <dir>
+        [--n_samples N] [--out lhco_generated.h5]
+
+Parity: reference scripts/generate_data_lhco.py / generate_data_lhco_xy.py /
+generate_data_lhco_clustering.py (SURVEY 3.4): sample stage-1 dijet jet
+features in the signal region (conditioned on mjj), condition the stage-2
+constituent model on them, optionally re-cluster the generated clouds with
+anti-kt (native fastjet_lite) and write everything to h5.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def load_run(run_dir: str, ckpt: str = "best"):
+    import jax
+
+    from particle_fm_tpu.config.core import instantiate, load_config
+    from particle_fm_tpu.parallel.train import create_train_state, make_optimizer
+    from particle_fm_tpu.train import build_lr
+    from particle_fm_tpu.training.checkpoint import CheckpointManager
+
+    cfg = load_config(os.path.join(run_dir, "config.yaml"))
+    dm = instantiate(cfg["data"])
+    dm.setup()
+    model_cfg = dict(cfg["model"])
+    opt_cfg = model_cfg.pop("optimizer", {})
+    sched_cfg = model_cfg.pop("scheduler", None)
+    model = instantiate(model_cfg)
+    optimizer = make_optimizer(
+        lr=build_lr(opt_cfg, sched_cfg, max(dm.steps_per_epoch, 1)),
+        weight_decay=opt_cfg.get("weight_decay", 5e-5),
+        grad_clip=cfg.get("trainer", {}).get("grad_clip", 0.5),
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0), optimizer)
+    cm = CheckpointManager(
+        os.path.join(run_dir, "checkpoints"),
+        cfg.get("trainer", {}).get("ckpt_monitors", {"val_loss": "min"}),
+    )
+    path = cm.last_path() if ckpt == "last" else (
+        cm.best_path(next(iter(cm.monitors))) or cm.last_path()
+    )
+    state = cm.restore(path, state)
+    return cfg, dm, model, jax.device_get(state.variables(ema=True))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage1_run", required=True, help="jet-feature FM run dir")
+    ap.add_argument("--stage2_run", required=True, help="constituent FM run dir")
+    ap.add_argument("--n_samples", type=int, default=10000)
+    ap.add_argument("--ode_steps", type=int, default=100)
+    ap.add_argument("--batch_size", type=int, default=1024)
+    ap.add_argument("--recluster", action="store_true", help="anti-kt recluster events")
+    ap.add_argument("--out", default="lhco_generated.h5")
+    args = ap.parse_args()
+
+    import h5py
+    import jax
+    import jax.numpy as jnp
+
+    from particle_fm_tpu.data.utils import inverse_normalize_tensor, normalize_tensor
+
+    # ---------------- stage 1: jet features conditioned on SR mjj
+    cfg1, dm1, model1, vars1 = load_run(args.stage1_run)
+    cond_sr = dm1.tensor_conditioning_test_sr
+    reps = int(np.ceil(args.n_samples / len(cond_sr)))
+    cond_sr = np.tile(cond_sr, (reps, 1))[: args.n_samples]
+    feats = []
+    rng = jax.random.PRNGKey(0)
+    for lo in range(0, args.n_samples, args.batch_size):
+        hi = min(lo + args.batch_size, args.n_samples)
+        rng, sub = jax.random.split(rng)
+        out = model1.sample(
+            vars1, sub, n_samples=hi - lo, cond=jnp.asarray(cond_sr[lo:hi]),
+            ode_steps=args.ode_steps,
+        )
+        feats.append(np.asarray(out))
+    feats = np.concatenate(feats, axis=0)
+    # un-normalize stage-1 output to physical jet features
+    feats_phys = inverse_normalize_tensor(
+        feats, dm1.means, dm1.stds, getattr(dm1, "normalize_sigma", 5)
+    )
+    print(f"[lhco] stage-1 features: {feats_phys.shape}")
+
+    # ---------------- stage 2: constituents conditioned on stage-1 features
+    cfg2, dm2, model2, vars2 = load_run(args.stage2_run)
+    cond_dim = dm2.tensor_conditioning_train.shape[-1]
+    # stage-1 vector layout: (jet1, jet2) x (pt,eta,phi,m) + 2 multiplicities;
+    # the leading jet's features (+ multiplicity) condition the x-jet model
+    jets2 = feats_phys.reshape(len(feats_phys), 2, 5)
+    cond_stage2_phys = jets2[:, 0, :cond_dim]
+    cond_stage2 = normalize_tensor(
+        cond_stage2_phys, dm2.cond_means, dm2.cond_stds, getattr(dm2, "normalize_sigma", 5)
+    ).astype(np.float32)
+
+    # multiplicities drive the mask length
+    mult = np.clip(np.round(jets2[:, 0, 4]).astype(int), 1, dm2.num_particles)
+    ar = np.arange(dm2.num_particles)[None, :]
+    mask = (ar < mult[:, None]).astype(np.float32)[..., None]
+
+    from particle_fm_tpu.eval.generation import generate_data
+
+    consts, gen_time = generate_data(
+        model2,
+        vars2,
+        num_jet_samples=args.n_samples,
+        batch_size=args.batch_size,
+        cond=cond_stage2,
+        variable_set_sizes=True,
+        mask=mask,
+        normalized_data=dm2.means is not None,
+        normalize_sigma=getattr(dm2, "normalize_sigma", 5),
+        means=dm2.means,
+        stds=dm2.stds,
+        log_pt=getattr(dm2, "log_pt", False),
+        pt_standardization=getattr(dm2, "pt_standardization", False),
+        ode_steps=args.ode_steps,
+    )
+    print(f"[lhco] stage-2 constituents: {consts.shape} ({gen_time:.1f}s)")
+
+    payload = {
+        "jet_features": feats_phys,
+        "constituents": consts,
+        "mask": mask,
+        "mjj_cond": cond_sr,
+    }
+    if args.recluster:
+        from particle_fm_tpu.eval.lhco_utils import cluster_data
+
+        # constituents are relative (eta, phi, pt) -> absolute (pt, eta, phi)
+        from particle_fm_tpu.data.utils import get_nonrel_consts
+
+        nonrel = get_nonrel_consts(jets2[:, 0, :4], consts[..., [2, 0, 1]])
+        jets_cl, consts_cl, mask_cl = cluster_data(nonrel, num_particles=dm2.num_particles)
+        payload["clustered_jets"] = jets_cl
+        payload["clustered_constituents"] = consts_cl
+        payload["clustered_mask"] = mask_cl
+
+    with h5py.File(args.out, "w") as f:
+        for k, v in payload.items():
+            f.create_dataset(k, data=v)
+    print(f"[lhco] wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
