@@ -58,6 +58,18 @@ def train(cfg: dict) -> tuple[dict, dict]:
     save_config(cfg, os.path.join(out_dir, "config.yaml"))
     print(f"[train] run dir: {out_dir}", flush=True)
 
+    # debug/profiling presets (configs/debug/*; reference debug configs)
+    import jax
+
+    debug_cfg = cfg.get("debug") or {}
+    profiler_dir = debug_cfg.get("profiler_dir")
+    if debug_cfg.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)
+    if debug_cfg.get("disable_jit"):
+        jax.config.update("jax_disable_jit", True)
+    if profiler_dir:
+        jax.profiler.start_trace(str(profiler_dir))
+
     dm = instantiate(cfg["data"])
     dm.setup()
 
@@ -94,7 +106,12 @@ def train(cfg: dict) -> tuple[dict, dict]:
 
     metrics = {}
     if cfg.get("train", True):
-        trainer.fit(resume_from=cfg.get("ckpt_path"))
+        try:
+            trainer.fit(resume_from=cfg.get("ckpt_path"))
+        finally:
+            if profiler_dir:
+                jax.profiler.stop_trace()
+                print(f"[train] profiler trace written to {profiler_dir}")
         if trainer.metrics_history:
             metrics.update(trainer.metrics_history[-1])
     if cfg.get("test", False):
@@ -110,7 +127,9 @@ def train(cfg: dict) -> tuple[dict, dict]:
 def main(argv: list[str] | None = None) -> dict:
     argv = argv if argv is not None else sys.argv[1:]
     cfg = compose(CONFIG_DIR, "train", overrides=list(argv))
-    metrics, _ = train(cfg)
+    from particle_fm_tpu.utils.helpers import task_wrapper
+
+    metrics, _ = task_wrapper(train)(cfg)
     return metrics
 
 
