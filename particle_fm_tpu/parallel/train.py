@@ -107,10 +107,13 @@ def make_train_step(
     if mesh is not None:
         repl = replicated(mesh)
         data = batch_sharding(mesh)
+        # the state's sharding is inherited from the input arrays (None):
+        # replicated for pure DP, or TP-annotated via parallel/tp.shard_state —
+        # XLA's SPMD partitioner propagates either through the whole step
         return jax.jit(
             step_fn,
-            in_shardings=(repl, repl, data, data, data),
-            out_shardings=(repl, repl),
+            in_shardings=(None, repl, data, data, data),
+            out_shardings=(None, repl),
             donate_argnums=(0,),
         )
     return jax.jit(step_fn, donate_argnums=(0,))
@@ -130,6 +133,6 @@ def make_eval_step(model, mesh=None) -> Callable:
         repl = replicated(mesh)
         data = batch_sharding(mesh)
         return jax.jit(
-            step_fn, in_shardings=(repl, repl, data, data, data), out_shardings=repl
+            step_fn, in_shardings=(None, repl, data, data, data), out_shardings=repl
         )
     return jax.jit(step_fn)
