@@ -256,6 +256,7 @@ class FinalEvalCallback(JetNetEvalCallback):
     num_samples_factor: float = 1.0  # N x dataset size (reference: -N)
     save_dir: Optional[str] = None
     compute_substructure: bool = True
+    compute_fpd_kpd: bool = True
     make_plots: bool = True
     on_test: bool = True
 
@@ -310,6 +311,19 @@ class FinalEvalCallback(JetNetEvalCallback):
                 plot_substructure(
                     hlvs_real, hlvs_gen, os.path.join(out_dir, "substructure.png")
                 )
+        if self.compute_fpd_kpd:
+            # FPD/KPD on the EFP feature set (the metric pair of the
+            # BASELINE north star: W1M/FPD parity)
+            from particle_fm_tpu.eval.efp import efps
+            from particle_fm_tpu.eval.metrics import fpd, kpd
+
+            e_real = efps(real[:n])
+            e_gen = efps(gen)
+            metrics["fpd"] = fpd(e_real, e_gen)
+            kpd_med, kpd_std = kpd(e_real, e_gen)
+            metrics["kpd_median"] = kpd_med
+            metrics["kpd_std"] = kpd_std
+
         if self.make_plots:
             from particle_fm_tpu.eval.plotting import plot_data
 

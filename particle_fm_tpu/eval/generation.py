@@ -41,6 +41,7 @@ def generate_data(
     ode_solver: str = "midpoint",
     ode_steps: int = 100,
     seed: int = 0,
+    scaler=None,
 ) -> tuple[np.ndarray, float]:
     """Sample num_jet_samples sets; returns (data (S, N, F), generation_time).
 
@@ -114,6 +115,14 @@ def generate_data(
                 batch = inverse_normalize_tensor(batch, means, stds, sigma=normalize_sigma)
             if log_pt:
                 batch[..., 2] = 1.0 - np.exp(batch[..., 2])
+        if scaler is not None:
+            # generate_data_v2 path: sklearn-style pipeline inverse-transform
+            # (reference data_generation.py:177-308); applied to real hits only
+            if mask_sel is not None:
+                keep = mask_sel[..., 0] > 0
+                batch[keep] = scaler.inverse_transform(batch[keep])
+            else:
+                batch = scaler.inverse_transform(batch)
         if variable_set_sizes:
             batch = batch * mask_sel
         chunks.append(batch)

@@ -36,7 +36,9 @@ def evaluate(run_dir: str, ckpt: str = "best", overrides: dict | None = None) ->
     optimizer_cfg = model_cfg.pop("optimizer", {})
     scheduler_cfg = model_cfg.pop("scheduler", None)
     model = instantiate(model_cfg)
-    callbacks = list(instantiate(cfg.get("callbacks", {}) or {}).values())
+    from particle_fm_tpu.train import build_callbacks
+
+    callbacks = build_callbacks(cfg.get("callbacks"))
     trainer_cfg = dict(cfg.get("trainer", {}))
     trainer_cfg.pop("ema", None)
     grad_clip = trainer_cfg.pop("grad_clip", 0.5)

@@ -93,6 +93,22 @@ class FlowMatchingModel:
             normaliser_config=dict(self.normaliser_config),
             cnf_config=cnf_config,
         )
+        # sampling-time twin with weight norm disabled: the g*v/||v||
+        # reparametrization is folded into the kernels ONCE before the ODE
+        # scan instead of being recomputed at every step (XLA does not hoist
+        # it out of the loop; measured ~6% of sampling time)
+        if self.use_weight_norm:
+            folded_cnf = dict(cnf_config, use_weight_norm=False)
+            self._module_folded = CNFStack(
+                n_transforms=self.n_transforms,
+                features=self.features,
+                global_cond_dim=self.global_cond_dim,
+                use_normaliser=self.use_normaliser,
+                normaliser_config=dict(self.normaliser_config),
+                cnf_config=folded_cnf,
+            )
+        else:
+            self._module_folded = None
         self._loss_fn = get_loss_fn(
             self.loss_type,
             sigma=self.sigma,
@@ -101,6 +117,29 @@ class FlowMatchingModel:
             ot_config=dict(self.ot_config),
         )
         self.conditioned = self.global_cond_dim > 0
+
+    # ------------------------------------------------- weight-norm folding
+    def fold_weight_norm(self, variables: dict) -> tuple[object, dict]:
+        """Fold w = g * v / ||v|| into the kernels; returns (module, variables)
+        to use for inference. No-op when weight norm is disabled."""
+        if self._module_folded is None:
+            return self.module, variables
+
+        def fold(tree):
+            if isinstance(tree, dict):
+                if "kernel" in tree and "g" in tree:
+                    v = tree["kernel"]
+                    g = tree["g"]
+                    norm = jnp.linalg.norm(v, axis=0, keepdims=True)
+                    out = {k: val for k, val in tree.items() if k != "g"}
+                    out["kernel"] = v * (g[None, :] / jnp.maximum(norm, 1e-12))
+                    return out
+                return {k: fold(v) for k, v in tree.items()}
+            return tree
+
+        folded = dict(variables)
+        folded["params"] = fold(variables["params"])
+        return self._module_folded, folded
 
     # ------------------------------------------------------------- init
     def init(self, rng: jax.Array, batch_size: int = 2) -> dict:
@@ -291,12 +330,13 @@ class FlowMatchingModel:
         """
         if n_samples is None:
             n_samples = cond.shape[0] if cond is not None else mask.shape[0]
+        module, variables = self.fold_weight_norm(variables)
         rng_z, rng_sde = jax.random.split(rng)
         z = jax.random.normal(rng_z, (n_samples, self.num_particles, self.features))
         if mask is not None:
             z = z * mask
         if cond is not None and self.use_normaliser and self.conditioned:
-            cond = self.module.apply(variables, cond, method="normalise_cond")
+            cond = module.apply(variables, cond, method="normalise_cond")
 
         x = z
         for k in reversed(range(self.n_transforms)):
@@ -304,13 +344,13 @@ class FlowMatchingModel:
             def drift(t, y, _k=k):
                 if self.loss_type == "diffusion":
                     sched = VPDiffusionSchedule(**dict(self.diff_config))
-                    eps = self.module.apply(
+                    eps = module.apply(
                         variables, _k, t, y, cond=cond, mask=mask, method="flow_k"
                     )
                     _, noise_rates = sched(t)
                     betas = sched.get_betas(t)
                     return -0.5 * betas * (y - eps / noise_rates)
-                return self.module.apply(
+                return module.apply(
                     variables, _k, t, y, cond=cond, mask=mask, method="flow_k"
                 )
 
@@ -324,7 +364,7 @@ class FlowMatchingModel:
                 sched = VPDiffusionSchedule(**dict(self.diff_config))
 
                 def noise_model(t, y, _k=k):
-                    return self.module.apply(
+                    return module.apply(
                         variables, _k, t, y, cond=cond, mask=mask, method="flow_k"
                     )
 
@@ -336,5 +376,5 @@ class FlowMatchingModel:
                 raise NotImplementedError(f"Solver {ode_solver} not implemented")
 
         if self.use_normaliser:
-            x = self.module.apply(variables, x, mask, method="reverse_norm")
+            x = module.apply(variables, x, mask, method="reverse_norm")
         return x

@@ -28,6 +28,19 @@ from particle_fm_tpu.training.trainer import Trainer
 CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
 
 
+def build_callbacks(callbacks_cfg: dict | None) -> list:
+    """Instantiate callback entries; entries without a `_target_` (e.g. an
+    experiment overlay patching a callback after `callbacks=none` removed the
+    group) are skipped with a warning instead of crashing the run."""
+    out = []
+    for name, cb_cfg in (callbacks_cfg or {}).items():
+        if not isinstance(cb_cfg, dict) or "_target_" not in cb_cfg:
+            print(f"[train] skipping callback {name!r}: no _target_ (group overridden?)")
+            continue
+        out.append(instantiate(cb_cfg))
+    return out
+
+
 def build_lr(optimizer_cfg: dict, scheduler_cfg: dict | None, steps_per_epoch: int):
     lr = optimizer_cfg.get("lr", 1e-3)
     if not scheduler_cfg:
@@ -86,7 +99,7 @@ def train(cfg: dict) -> tuple[dict, dict]:
         grad_clip=trainer_cfg.pop("grad_clip", 0.5),
     )
 
-    callbacks = list(instantiate(cfg.get("callbacks", {}) or {}).values())
+    callbacks = build_callbacks(cfg.get("callbacks"))
     ema_cfg = trainer_cfg.pop("ema", {})
 
     trainer = Trainer(
@@ -107,7 +120,10 @@ def train(cfg: dict) -> tuple[dict, dict]:
     metrics = {}
     if cfg.get("train", True):
         try:
-            trainer.fit(resume_from=cfg.get("ckpt_path"))
+            trainer.fit(
+                resume_from=cfg.get("ckpt_path"),
+                load_weights_from=cfg.get("load_weights_from"),
+            )
         finally:
             if profiler_dir:
                 jax.profiler.stop_trace()

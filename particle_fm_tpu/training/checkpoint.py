@@ -98,3 +98,17 @@ class CheckpointManager:
     def restore(self, path: str, target):
         """Restore into the structure of `target` (a concrete TrainState)."""
         return self._ckptr.restore(path, target=target)
+
+
+def restore_state(path: str, target):
+    """Standalone restore (no manager needed)."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=target)
+
+
+def load_weights_from(path: str, state):
+    """Load params + EMA params from a checkpoint into a fresh TrainState,
+    keeping the new optimizer state and step counter (the reference's
+    `load_weights_from` fine-tuning hook, train.py:100-102)."""
+    loaded = restore_state(path, state)
+    return state.replace(params=loaded.params, ema_params=loaded.ema_params)

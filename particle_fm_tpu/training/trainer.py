@@ -110,8 +110,18 @@ class Trainer:
         )
 
     # ---------------------------------------------------------------- fit
-    def fit(self, resume_from: str | None = None) -> TrainState:
+    def fit(
+        self, resume_from: str | None = None, load_weights_from: str | None = None
+    ) -> TrainState:
         state = create_train_state(self.model, jax.random.PRNGKey(self.seed), self.optimizer)
+        if load_weights_from:
+            from particle_fm_tpu.training.checkpoint import (
+                load_weights_from as _load_weights,
+            )
+
+            state = _load_weights(load_weights_from, state)
+            if self.verbose:
+                print(f"[trainer] loaded pretrained weights from {load_weights_from}")
         if resume_from:
             if self.ckpt is None:
                 raise ValueError("resume_from requires ckpt_dir")
@@ -191,9 +201,15 @@ class Trainer:
     def validate(self) -> float:
         rng = jax.random.PRNGKey(VAL_SEED)
         losses = []
+        n_dev = self.mesh.shape["data"]
         for batch in self.datamodule.val_batches():
-            if batch[0].shape[0] % self.mesh.shape["data"] != 0:
-                continue  # ragged tail cannot shard evenly; skip like drop_last
+            ragged = batch[0].shape[0] % n_dev
+            if ragged:
+                # trim to an even shard; drop the batch only if it's tiny
+                keep = batch[0].shape[0] - ragged
+                if keep == 0:
+                    continue
+                batch = tuple(b[:keep] if b is not None else None for b in batch)
             losses.append(np.asarray(self.eval_step(self.state, rng, *self._shard(batch))))
         return float(np.mean(losses)) if losses else np.nan
 

@@ -1,0 +1,92 @@
+"""Hyperparameter search driver.
+
+    python scripts/hparam_search.py --experiment jetnet/fm_tops30_cond \
+        --metric val_loss --n_trials 8 \
+        --space model.hidden_dim=64,128,256 model.layers=4,6,8 \
+        --space-log model.optimizer.lr=1e-4:3e-3 \
+        [--overrides data.synthetic=true trainer.max_epochs=5 ...]
+
+Parity: the reference runs Optuna through the hydra sweeper
+(configs/hparams_search/*.yaml, train.py:119-141 returns the monitored
+metric). This driver does random search over categorical and log-uniform
+spaces, runs each trial through the same train() entry point, and writes a
+ranked summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--experiment", required=True)
+    ap.add_argument("--metric", default="val_loss")
+    ap.add_argument("--mode", default="min", choices=["min", "max"])
+    ap.add_argument("--n_trials", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--space", nargs="*", default=[], help="key=a,b,c categorical choices")
+    ap.add_argument("--space-log", nargs="*", default=[], help="key=lo:hi log-uniform float")
+    ap.add_argument("--overrides", nargs="*", default=[])
+    ap.add_argument("--out", default="hparam_search_results.json")
+    args = ap.parse_args()
+
+    from particle_fm_tpu.config.core import compose
+    from particle_fm_tpu.train import CONFIG_DIR, train
+
+    cat_space = {}
+    for s in args.space:
+        k, v = s.split("=", 1)
+        cat_space[k] = v.split(",")
+    log_space = {}
+    for s in args.space_log:
+        k, v = s.split("=", 1)
+        lo, hi = v.split(":")
+        log_space[k] = (float(lo), float(hi))
+
+    rs = np.random.RandomState(args.seed)
+    results = []
+    for trial in range(args.n_trials):
+        picks = {k: choices[rs.randint(len(choices))] for k, choices in cat_space.items()}
+        picks.update(
+            {
+                k: float(np.exp(rs.uniform(np.log(lo), np.log(hi))))
+                for k, (lo, hi) in log_space.items()
+            }
+        )
+        overrides = (
+            [f"experiment={args.experiment}"]
+            + list(args.overrides)
+            + [f"{k}={v}" for k, v in picks.items()]
+        )
+        print(f"[hparam] trial {trial}: {picks}")
+        cfg = compose(CONFIG_DIR, "train", overrides)
+        cfg["test"] = False
+        try:
+            metrics, _ = train(cfg)
+            value = float(metrics.get(args.metric, np.nan))
+        except Exception as e:  # a bad config shouldn't kill the sweep
+            print(f"[hparam] trial {trial} failed: {e}")
+            value = float("nan")
+        results.append({"trial": trial, "params": picks, args.metric: value})
+
+    sign = 1 if args.mode == "min" else -1
+    ranked = sorted(
+        results, key=lambda r: sign * (r[args.metric] if np.isfinite(r[args.metric]) else np.inf)
+    )
+    with open(args.out, "w") as f:
+        json.dump(ranked, f, indent=2)
+    print(f"[hparam] best: {ranked[0]}")
+    print(f"[hparam] wrote {args.out}")
+    return ranked
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,14 @@ import pytest  # noqa: E402
 # through the config API, which wins as long as no backend is initialized yet.
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite is dominated by XLA compiles of the
+# same tiny programs — cache them across runs (dir is .gitignore'd)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 @pytest.fixture(scope="session")
 def mesh():

@@ -70,7 +70,7 @@ def test_final_eval_callback_end_to_end(tmp_path, mesh):
     )
     trainer.fit()
     results = trainer.test(ckpt="last")
-    for k in ("w1m_mean", "w1_tau21_mean", "w1_tau32_mean", "w1_d2_mean"):
+    for k in ("w1m_mean", "w1_tau21_mean", "w1_tau32_mean", "w1_d2_mean", "fpd", "kpd_median"):
         assert k in results and np.isfinite(results[k]), k
     out = tmp_path / "final"
     assert (out / "final_generated_data.npy").exists()
