@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from particle_fm_tpu.nets.common import WNDense, cat
-from particle_fm_tpu.ops.attention import masked_attention
+from particle_fm_tpu.ops.attention import attention
 
 
 def _glu(x: jnp.ndarray) -> jnp.ndarray:
@@ -60,7 +60,7 @@ class MDMABlock(nn.Module):
         k = dense(self.hidden, "attn_k")(x)
         v = dense(self.hidden, "attn_v")(x)
         split = lambda z: z.reshape(z.shape[:-1] + (self.num_heads, head_dim))
-        a = masked_attention(split(q), split(k), split(v), kv_mask=mask[..., 0])
+        a = attention(split(q), split(k), split(v), kv_mask=mask[..., 0])
         x_cls = dense(self.hidden, "attn_out")(a.reshape(a.shape[:-2] + (self.hidden,)))
 
         x_cls = cat(x_cls, cond) if not self.t_global_cat else cat(x_cls, cond, t_in[:, :1, :])

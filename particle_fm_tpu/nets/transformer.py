@@ -29,7 +29,7 @@ from flax import linen as nn
 from flax.core import FrozenDict
 
 from particle_fm_tpu.nets.common import WNDense, cat, get_act
-from particle_fm_tpu.ops.attention import masked_attention
+from particle_fm_tpu.ops.attention import attention
 
 
 def _broadcast_ctxt(ctxt: jnp.ndarray | None, x: jnp.ndarray) -> jnp.ndarray | None:
@@ -196,7 +196,7 @@ class MultiHeadedAttentionBlock(nn.Module):
         def split_heads(t):
             return t.reshape(t.shape[:-1] + (self.num_heads, head_dim))
 
-        a_out = masked_attention(
+        a_out = attention(
             split_heads(q_out), split_heads(k_out), split_heads(v_out), kv_mask, attn_bias
         )
         a_out = a_out.reshape(a_out.shape[:-2] + (self.model_dim,))
