@@ -61,6 +61,30 @@ class DQLinear(DQ):
         return X + u
 
 
+class LogitScaler(BaseEstimator, TransformerMixin):
+    """MinMax to (eps, 1-eps) then logit — the reference's
+    utils/preprocessing.py::LogitScaler used for bounded features."""
+
+    def __init__(self, eps: float = 1e-6):
+        self.eps = eps
+        self._min = None
+        self._max = None
+
+    def fit(self, X, y=None):
+        self._min = np.min(X, axis=0)
+        self._max = np.max(X, axis=0)
+        return self
+
+    def transform(self, X, y=None):
+        z = (X - self._min) / np.maximum(self._max - self._min, 1e-30)
+        z = np.clip(z, self.eps, 1 - self.eps)
+        return np.log(z / (1 - z))
+
+    def inverse_transform(self, X, y=None):
+        z = 1.0 / (1.0 + np.exp(-X))
+        return z * (self._max - self._min) + self._min
+
+
 class ScalerBase:
     """Per-feature transformer pipeline over flat (P, F) point arrays."""
 

@@ -258,3 +258,70 @@ class EPiCDiscriminator(nn.Module):
         out = act(dense(self.hid_dim, "fc_d2")(out) + out)
         out = dense(self.out_dim, "fc_out")(out)
         return out
+
+
+class EPiCDiscriminatorHierarchical(nn.Module):
+    """Two-level (particle + jet) discriminator for multi-jet events.
+
+    The event's `num_sup_sets` jets are each encoded by a shared
+    particle-level EPiC discriminator trunk; the per-jet representations then
+    form a small set processed by a jet-level trunk, and both levels feed the
+    final head. Parity: particle_fm/models/components/epic.py:601-775
+    (EPiC_discriminator3 composing two EPiC_discriminator_2 trunks; here the
+    trunks are EPiCDiscriminator feature extractors with a shared structure).
+
+    Call: x (B*S, N, F) with mask (B*S, N, 1) — jets flattened into the batch
+    like the reference's LHCO "all" layout; returns (B, 1) event logits.
+    """
+
+    hid_dim: int = 128
+    latent_dim: int = 16
+    equiv_layers: int = 3
+    num_sup_sets: int = 2
+    activation: str = "leaky_relu"
+    use_weight_norm: bool = True
+    sum_scale: float = 1e-2
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, cond=None, mask=None, deterministic: bool = True):
+        act = get_act(self.activation)
+        wn = self.use_weight_norm
+        dense = lambda feats, name: WNDense(
+            feats, use_weight_norm=wn, dtype=self.dtype, name=name
+        )
+        s = self.num_sup_sets
+        # particle level: per-jet representation (pre-logit features)
+        feat_dim = self.hid_dim
+        particle_trunk = EPiCDiscriminator(
+            hid_dim=self.hid_dim,
+            latent_dim=self.latent_dim,
+            equiv_layers=self.equiv_layers,
+            activation=self.activation,
+            use_weight_norm=wn,
+            sum_scale=self.sum_scale,
+            out_dim=feat_dim,
+            dtype=self.dtype,
+            name="particle_trunk",
+        )
+        jet_feats = particle_trunk(x, mask=mask, deterministic=deterministic)  # (B*S, H)
+        jet_set = jet_feats.reshape(-1, s, feat_dim)  # (B, S, H)
+
+        # jet level: a tiny set encoder over the S jets
+        jet_trunk = EPiCDiscriminator(
+            hid_dim=self.hid_dim,
+            latent_dim=self.latent_dim,
+            equiv_layers=max(self.equiv_layers // 2, 1),
+            activation=self.activation,
+            use_weight_norm=wn,
+            sum_scale=self.sum_scale,
+            out_dim=feat_dim,
+            dtype=self.dtype,
+            name="jet_trunk",
+        )
+        event_feats = jet_trunk(jet_set, mask=None, deterministic=deterministic)  # (B, H)
+
+        combined = cat(event_feats, jet_set.reshape(-1, s * feat_dim))
+        out = act(dense(self.hid_dim, "fc_g3")(combined))
+        out = act(dense(self.hid_dim, "fc_g4")(out) + out)
+        return dense(1, "out")(out)

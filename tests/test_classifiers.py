@@ -95,3 +95,31 @@ def test_gen_vs_real_normalization_and_labels():
     assert set(np.unique(labels)) <= {0.0, 1.0}
     assert abs(labels.mean() - 0.5) < 0.3  # roughly balanced after shuffle
     np.testing.assert_array_equal(x * (1 - m), 0.0)
+
+
+def test_hierarchical_discriminator():
+    import jax
+    import jax.numpy as jnp
+
+    from particle_fm_tpu.nets.epic import EPiCDiscriminatorHierarchical
+
+    disc = EPiCDiscriminatorHierarchical(hid_dim=16, latent_dim=4, equiv_layers=1,
+                                         num_sup_sets=2)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(8, 10, 3).astype(np.float32))  # 4 events x 2 jets
+    mask = jnp.ones((8, 10, 1))
+    params = disc.init(jax.random.PRNGKey(0), x, mask=mask)
+    out = disc.apply(params, x, mask=mask)
+    assert out.shape == (4, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_logit_scaler_roundtrip():
+    from particle_fm_tpu.data.calo_scalers import LogitScaler
+
+    rs = np.random.RandomState(0)
+    x = rs.rand(200, 3) * [5.0, 1.0, 100.0] - [1.0, 0.0, 50.0]
+    sc = LogitScaler().fit(x)
+    z = sc.transform(x)
+    back = sc.inverse_transform(z)
+    np.testing.assert_allclose(back, x, rtol=1e-5, atol=1e-6)
