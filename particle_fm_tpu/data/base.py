@@ -52,6 +52,9 @@ class ArrayDataModule:
     tensor_conditioning_val: Optional[np.ndarray] = field(default=None, repr=False)
     tensor_conditioning_test: Optional[np.ndarray] = field(default=None, repr=False)
     variable_jet_sizes: bool = True
+    # fixed-shape splits can live on device for the whole run (the Trainer
+    # uploads once and shuffles on device); bucketed datamodules disable this
+    device_cacheable: bool = True
 
     def setup(self) -> None:  # pragma: no cover - abstract
         raise NotImplementedError

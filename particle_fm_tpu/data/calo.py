@@ -57,6 +57,7 @@ class CaloChallengeDataModule(ArrayDataModule):
 
     _sequences: list = field(default_factory=list, repr=False)
     _energies: Optional[np.ndarray] = None
+    device_cacheable: bool = False  # bucketed shapes; batches built on host
 
     def _load(self):
         if self.synthetic:

@@ -51,6 +51,12 @@ class Trainer:
     logger_backends: tuple = ("jsonl",)
     loss_per_jettype: bool = False
     loss_per_jettype_every_n: int = 20
+    # upload fixed-shape train data to the device once and shuffle there —
+    # avoids a host->device transfer per step (which dominates step time on
+    # tunneled TPU hosts). Auto: on when the datamodule allows it and the
+    # split is < device_cache_limit_mb.
+    cache_data_on_device: Optional[bool] = None
+    device_cache_limit_mb: int = 2048
     seed: int = 0
     verbose: bool = True
     mesh: object = None
@@ -131,14 +137,15 @@ class Trainer:
         state = replicate(state, self.mesh)
         self.state = state
         rng = jax.random.PRNGKey(self.seed + 1)
+        dev_data = self._maybe_cache_train_data()
 
         start_epoch = int(np.asarray(state.step)) // max(self.datamodule.steps_per_epoch, 1)
         for epoch in range(start_epoch, self.max_epochs):
             self.epoch = epoch
             t0 = time.perf_counter()
             losses = []
-            for batch in self.datamodule.train_batches(seed=self.seed + epoch):
-                self.state, loss = self.train_step(self.state, rng, *self._shard(batch))
+            for batch in self._epoch_batches(dev_data, epoch):
+                self.state, loss = self.train_step(self.state, rng, *batch)
                 losses.append(loss)
             train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else np.nan
             metrics = {"train_loss": train_loss, "epoch_time": time.perf_counter() - t0}
@@ -167,6 +174,61 @@ class Trainer:
                 if (epoch + 1) % self.save_last_every_n_epoch == 0 or epoch == self.max_epochs - 1:
                     self.ckpt.save_last(self.state)
         return self.state
+
+    def _maybe_cache_train_data(self):
+        """Upload the train split once (batch-sharded); None = host batching."""
+        dm = self.datamodule
+        split = getattr(dm, "train", None)
+        if split is None or not getattr(dm, "device_cacheable", False):
+            return None
+        nbytes = split.x.nbytes + (split.mask.nbytes if split.mask is not None else 0)
+        enabled = (
+            self.cache_data_on_device
+            if self.cache_data_on_device is not None
+            else nbytes < self.device_cache_limit_mb * 2**20
+        )
+        if not enabled:
+            return None
+        # the stored array must shard evenly over the data axis; trim the
+        # ragged tail (< n_dev samples; batching drops a partial batch anyway)
+        n_dev = self.mesh.shape["data"]
+        n2 = len(split.x) - (len(split.x) % n_dev)
+        return self._shard(
+            (
+                split.x[:n2],
+                split.mask[:n2] if split.mask is not None else None,
+                split.cond[:n2] if split.cond is not None else None,
+            )
+        )
+
+    def _epoch_batches(self, dev_data, epoch: int):
+        """Sharded device batches for one epoch. With the device cache, the
+        epoch's shuffle is one on-device gather; only the (tiny) permutation
+        crosses host->device."""
+        bs = self.datamodule.batch_size
+        if dev_data is None:
+            for batch in self.datamodule.train_batches(seed=self.seed + epoch):
+                yield self._shard(batch)
+            return
+        x, mask, cond = dev_data
+        n = x.shape[0]
+        n_use = n - (n % bs)
+        perm = np.random.default_rng(self.seed + epoch).permutation(n)[:n_use]
+        perm_dev = shard_batch((jnp.asarray(perm),), self.mesh)[0]
+        xs = jnp.take(x, perm_dev, axis=0)
+        ms = jnp.take(mask, perm_dev, axis=0) if mask is not None else None
+        cs = jnp.take(cond, perm_dev, axis=0) if cond is not None else None
+        from particle_fm_tpu.parallel.mesh import batch_sharding
+
+        sh = batch_sharding(self.mesh)
+        for i in range(n_use // bs):
+            sl = slice(i * bs, (i + 1) * bs)
+            # slicing a sharded axis produces a resharded array; re-place it
+            # (device-to-device, no host round-trip) so jit's in_shardings match
+            yield tuple(
+                jax.device_put(a[sl], sh) if a is not None else None
+                for a in (xs, ms, cs)
+            )
 
     def _per_jettype_losses(self) -> dict:
         """Validation loss per jet type, selected via the one-hot conditioning
