@@ -22,7 +22,7 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/particle_fm_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import jax.numpy as jnp
