@@ -214,7 +214,13 @@ class JetNetEvalCallback:
             return None
         dm = trainer.datamodule
         real, mask, cond = self._arrays(dm)
-        n = min(self.num_jet_samples, len(real))
+        # reference semantics: negative num_jet_samples = |n| x the dataset
+        # size (capped by the available conditioning/masks)
+        n = (
+            min(abs(self.num_jet_samples) * len(real), len(real))
+            if self.num_jet_samples < 0
+            else min(self.num_jet_samples, len(real))
+        )
         variables = jax.device_get(trainer.state.variables(ema=self.use_ema))
 
         gen, gen_time = generate_data(

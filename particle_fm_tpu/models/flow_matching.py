@@ -311,7 +311,7 @@ class FlowMatchingModel:
 
         return drift
 
-    @partial(jax.jit, static_argnames=("self", "n_samples", "ode_solver", "ode_steps"))
+    @partial(jax.jit, static_argnames=("self", "n_samples", "ode_solver", "ode_steps", "num_points"))
     def sample(
         self,
         variables: dict,
@@ -321,18 +321,23 @@ class FlowMatchingModel:
         mask: jnp.ndarray | None = None,
         ode_solver: str = "midpoint",
         ode_steps: int = 100,
+        num_points: int | None = None,
     ) -> jnp.ndarray:
         """Generate samples by integrating the flow from t=1 (noise) to t=0.
 
         Matches reference `SetFlowMatchingLitModule.sample` (:637-677): draw
         z ~ N(0,1) (masked), integrate each flow transform in reverse order,
-        undo in-model normalization.
+        undo in-model normalization. `num_points` overrides the configured
+        set size (reference's variable-size generation hook); when a mask is
+        given its particle axis wins.
         """
         if n_samples is None:
             n_samples = cond.shape[0] if cond is not None else mask.shape[0]
+        if num_points is None:
+            num_points = mask.shape[1] if mask is not None else self.num_particles
         module, variables = self.fold_weight_norm(variables)
         rng_z, rng_sde = jax.random.split(rng)
-        z = jax.random.normal(rng_z, (n_samples, self.num_particles, self.features))
+        z = jax.random.normal(rng_z, (n_samples, num_points, self.features))
         if mask is not None:
             z = z * mask
         if cond is not None and self.use_normaliser and self.conditioned:
