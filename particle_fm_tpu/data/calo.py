@@ -76,9 +76,15 @@ class CaloChallengeDataModule(ArrayDataModule):
     def setup(self) -> None:
         if self.train is not None:
             return
-        seqs, energies = self._load()
+        raw_seqs, energies = self._load()
+        # keep RAW sequences for batching: the alpha-rotation augmentation
+        # operates on raw bin indices (reference inverse-transforms, shifts,
+        # re-transforms — pad_collate_aug_fn); the scaler is applied per batch
+        self._raw_sequences = raw_seqs
         if self.scaler is not None:
-            seqs = [self.scaler.transform(s) for s in seqs]
+            seqs = [self.scaler.transform(s) for s in raw_seqs]
+        else:
+            seqs = raw_seqs
         n = len(seqs)
         n_val = int(self.val_fraction * n)
         n_test = int(self.test_fraction * n)
@@ -89,6 +95,11 @@ class CaloChallengeDataModule(ArrayDataModule):
             "train": (seqs[:n_train], cond[:n_train]),
             "val": (seqs[n_train : n_train + n_val], cond[n_train : n_train + n_val]),
             "test": (seqs[n_train + n_val :], cond[n_train + n_val :]),
+        }
+        self._raw_splits = {
+            "train": raw_seqs[:n_train],
+            "val": raw_seqs[n_train : n_train + n_val],
+            "test": raw_seqs[n_train + n_val :],
         }
         # padded full tensors for eval callbacks
         max_len = self._bucket_len(max(len(s) for s in seqs))
@@ -145,12 +156,23 @@ class CaloChallengeDataModule(ArrayDataModule):
         if rs is not None:
             rs.shuffle(batches)
         aug_rs = np.random.RandomState(0 if shuffle_seed is None else shuffle_seed)
+        do_rotate = augment and self.rotate_alpha
+        raw_seqs = self._raw_splits[name]
         for sel in batches:
-            arrs = [seqs[j] for j in sel]
-            blen = self._bucket_len(max(len(a) for a in arrs))
-            x, m = _pad_to(arrs, blen)
-            if augment and self.rotate_alpha:
+            if do_rotate:
+                # rotate RAW alpha bins, then apply the scaler (per reference
+                # collate: inverse -> shift mod bins -> transform)
+                arrs = [raw_seqs[j] for j in sel]
+                blen = self._bucket_len(max(len(a) for a in arrs))
+                x, m = _pad_to(arrs, blen)
                 x = self._rotate(x, m, aug_rs)
+                if self.scaler is not None:
+                    keep = m[..., 0] > 0
+                    x[keep] = self.scaler.transform(x[keep])
+            else:
+                arrs = [seqs[j] for j in sel]
+                blen = self._bucket_len(max(len(a) for a in arrs))
+                x, m = _pad_to(arrs, blen)
             yield x, m, cond[sel]
 
     def train_batches(self, seed: int = 0) -> Iterator[tuple]:

@@ -86,13 +86,15 @@ def w1p(
     """
     rng = rng or _rng
     jets1, jets2 = np.asarray(jets1), np.asarray(jets2)
+    mask1 = np.asarray(mask1) if mask1 is not None else None
+    mask2 = np.asarray(mask2) if mask2 is not None else None
     nf = jets1.shape[-1]
     w1s = []
     for _ in range(num_batches):
-        s1 = jets1[rng.choice(len(jets1), size=num_eval_samples)]
-        s2 = jets2[rng.choice(len(jets2), size=num_eval_samples)]
-        p1 = _real_particles(s1, None)
-        p2 = _real_particles(s2, None)
+        i1 = rng.choice(len(jets1), size=num_eval_samples)
+        i2 = rng.choice(len(jets2), size=num_eval_samples)
+        p1 = _real_particles(jets1[i1], mask1[i1] if mask1 is not None else None)
+        p2 = _real_particles(jets2[i2], mask2[i2] if mask2 is not None else None)
         w1s.append(
             [wasserstein_distance(p1[:, f], p2[:, f]) for f in range(nf)]
         )

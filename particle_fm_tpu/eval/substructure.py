@@ -80,10 +80,15 @@ def compute_substructure(
     # jet kinematics from the p4 sum — consts as (pt, y, phi)
     jets = get_jet_data(np.stack([pt, eta, phi], axis=-1))
 
-    # WTA exclusive-kt axes from the native clusterer
+    # WTA exclusive-kt axes from the native clusterer. Each tau_N uses its
+    # OWN exclusive-kt-to-N clustering (reference rclst.exclusive_jets(N),
+    # jet_substructure.py:248-258): the exclusive-2 axes are generally not a
+    # subset of the exclusive-3 axes.
+    axes1, found1 = exclusive_kt_axes(pt, eta, phi, R=R0, n_axes=1)
+    axes2, found2 = exclusive_kt_axes(pt, eta, phi, R=R0, n_axes=2)
     axes3, found3 = exclusive_kt_axes(pt, eta, phi, R=R0, n_axes=3)
-    tau1 = _tau(pt, eta, phi, mask, axes3, np.minimum(found3, 1), 1, R0)
-    tau2 = _tau(pt, eta, phi, mask, axes3, np.minimum(found3, 2), 2, R0)
+    tau1 = _tau(pt, eta, phi, mask, axes1, found1, 1, R0)
+    tau2 = _tau(pt, eta, phi, mask, axes2, found2, 2, R0)
     tau3 = _tau(pt, eta, phi, mask, axes3, found3, 3, R0)
 
     e2, e3 = _ecfs_device(

@@ -292,23 +292,31 @@ class FlowMatchingModel:
         return log_prior + ladj
 
     # --------------------------------------------------------- sampling
-    def make_drift(self, variables, cond=None, mask=None):
+    def make_drift(self, variables, cond=None, mask=None, flow_idx=None, module=None):
         """ODE drift f(t, x). For diffusion models this is the probability-flow
-        ODE -0.5*beta*(x - eps_theta/sigma_t) (reference ode_wrapper:62-71)."""
+        ODE -0.5*beta*(x - eps_theta/sigma_t) (reference ode_wrapper:62-71).
+
+        flow_idx selects a single flow transform (the composition runs flows
+        in reverse during sampling); None applies the full stack. `module`
+        overrides the applied module (e.g. the weight-norm-folded twin)."""
+        module = module or self.module
+
+        def net(t, x):
+            if flow_idx is None:
+                return module.apply(variables, t, x, cond=cond, mask=mask)
+            return module.apply(variables, flow_idx, t, x, cond=cond, mask=mask, method="flow_k")
+
         if self.loss_type == "diffusion":
             sched = VPDiffusionSchedule(**dict(self.diff_config))
 
             def drift(t, x):
-                eps = self.module.apply(variables, t, x, cond=cond, mask=mask)
+                eps = net(t, x)
                 _, noise_rates = sched(t)
                 betas = sched.get_betas(t)
                 return -0.5 * betas * (x - eps / noise_rates)
 
         else:
-
-            def drift(t, x):
-                return self.module.apply(variables, t, x, cond=cond, mask=mask)
-
+            drift = net
         return drift
 
     @partial(jax.jit, static_argnames=("self", "n_samples", "ode_solver", "ode_steps", "num_points"))
@@ -333,8 +341,11 @@ class FlowMatchingModel:
         """
         if n_samples is None:
             n_samples = cond.shape[0] if cond is not None else mask.shape[0]
-        if num_points is None:
-            num_points = mask.shape[1] if mask is not None else self.num_particles
+        # the mask's particle axis always wins (z is multiplied by it)
+        if mask is not None:
+            num_points = mask.shape[1]
+        elif num_points is None:
+            num_points = self.num_particles
         module, variables = self.fold_weight_norm(variables)
         rng_z, rng_sde = jax.random.split(rng)
         z = jax.random.normal(rng_z, (n_samples, num_points, self.features))
@@ -345,19 +356,7 @@ class FlowMatchingModel:
 
         x = z
         for k in reversed(range(self.n_transforms)):
-
-            def drift(t, y, _k=k):
-                if self.loss_type == "diffusion":
-                    sched = VPDiffusionSchedule(**dict(self.diff_config))
-                    eps = module.apply(
-                        variables, _k, t, y, cond=cond, mask=mask, method="flow_k"
-                    )
-                    _, noise_rates = sched(t)
-                    betas = sched.get_betas(t)
-                    return -0.5 * betas * (y - eps / noise_rates)
-                return module.apply(
-                    variables, _k, t, y, cond=cond, mask=mask, method="flow_k"
-                )
+            drift = self.make_drift(variables, cond=cond, mask=mask, flow_idx=k, module=module)
 
             if ode_solver in _FIXED_SOLVERS:
                 x = odeint_fixed(drift, x, 1.0, 0.0, ode_steps=ode_steps, method=ode_solver)

@@ -15,9 +15,9 @@ infrastructure: the win would come from a whole-encoder kernel (weights
 next step if the sampler ever becomes HBM-bound at larger hidden sizes.
 
 Semantics match nets/epic.py::EPiCLayer exactly (same parameter tensors,
-same concat order, leaky_relu activations); the backward pass is provided
-via jax.custom_vjp against the jnp twin, so training gradients are identical
-to the unfused path.
+same concat order, leaky_relu activations). Forward-only: there is no
+custom_vjp, so this kernel is for inference paths; training uses the jnp
+layer (whose gradients XLA derives normally).
 
 Weight layout (as produced by EPiCLayer with weight-norm already folded):
   wg1: (tg + 2H + L + C, H)   global MLP 1        bg1: (H,)

@@ -28,7 +28,10 @@ VARIABLES_TO_CLIP = ["part_etarel", "part_dphi", "part_ptrel"]
 def postprocess(data_gen, mask_gen, cond_gen, names_part_features=None,
                 min_max_train_dict=None):
     """Reference postprocessing chain (scripts/eval_ckpt.py:273-338)."""
-    names = [str(n) for n in (names_part_features or [])]
+    names = [
+        n.decode() if isinstance(n, bytes) else str(n)
+        for n in (names_part_features if names_part_features is not None else [])
+    ]
     if min_max_train_dict:
         for i, var in enumerate(names):
             if var not in VARIABLES_TO_CLIP or var not in min_max_train_dict:

@@ -78,8 +78,10 @@ def main():
         results.append({"trial": trial, "params": picks, args.metric: value})
 
     sign = 1 if args.mode == "min" else -1
+    # failed (NaN) trials always rank last, regardless of mode
     ranked = sorted(
-        results, key=lambda r: sign * (r[args.metric] if np.isfinite(r[args.metric]) else np.inf)
+        results,
+        key=lambda r: sign * r[args.metric] if np.isfinite(r[args.metric]) else np.inf,
     )
     with open(args.out, "w") as f:
         json.dump(ranked, f, indent=2)
