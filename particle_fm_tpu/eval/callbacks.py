@@ -39,11 +39,15 @@ class CaloEvalCallback:
     on_test: bool = False
     w1_num_batches: int = 5
     seed: int = 9999
+    log_epoch_zero: bool = False
     feature_names: tuple = ("E", "z", "alpha", "r")
 
     def __call__(self, trainer) -> Optional[dict]:
-        if not should_log(self.every_n_epochs, trainer.epoch):
-            return None
+        if not getattr(trainer, "testing", False):
+            if trainer.epoch == 0 and not self.log_epoch_zero:
+                return None
+            if not should_log(self.every_n_epochs, trainer.epoch):
+                return None
         import jax as _jax
         import numpy as _np
 
@@ -146,10 +150,14 @@ class FlatEvalCallback:
     split: str = "test"
     on_test: bool = False
     seed: int = 9999
+    log_epoch_zero: bool = False
 
     def __call__(self, trainer) -> Optional[dict]:
-        if not should_log(self.every_n_epochs, trainer.epoch):
-            return None
+        if not getattr(trainer, "testing", False):
+            if trainer.epoch == 0 and not self.log_epoch_zero:
+                return None
+            if not should_log(self.every_n_epochs, trainer.epoch):
+                return None
         import jax as _jax
         import numpy as _np
 
@@ -202,6 +210,7 @@ class JetNetEvalCallback:
     split: str = "test"
     on_test: bool = False  # also run inside trainer.test()
     seed: int = 9999  # fixed eval seed, parity with the reference
+    log_epoch_zero: bool = False  # parity: jetnet_eval.yaml log_epoch_zero
 
     def _arrays(self, dm):
         real = getattr(dm, f"tensor_{self.split}")
@@ -210,8 +219,11 @@ class JetNetEvalCallback:
         return real, mask, cond
 
     def __call__(self, trainer) -> Optional[dict]:
-        if not should_log(self.every_n_epochs, trainer.epoch):
-            return None
+        if not getattr(trainer, "testing", False):
+            if trainer.epoch == 0 and not self.log_epoch_zero:
+                return None
+            if not should_log(self.every_n_epochs, trainer.epoch):
+                return None
         dm = trainer.datamodule
         real, mask, cond = self._arrays(dm)
         # reference semantics: negative num_jet_samples = |n| x the dataset
@@ -267,6 +279,10 @@ class FinalEvalCallback(JetNetEvalCallback):
     on_test: bool = True
 
     def __call__(self, trainer) -> Optional[dict]:
+        if not getattr(trainer, "testing", False) and not should_log(
+            self.every_n_epochs, max(trainer.epoch, 1)
+        ):
+            return None
         import os
 
         from particle_fm_tpu.eval.substructure import compute_substructure

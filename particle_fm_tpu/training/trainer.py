@@ -287,9 +287,13 @@ class Trainer:
             if path is not None:
                 self.state = self.ckpt.restore(path, self.state)
         results = {}
-        for cb in self.callbacks:
-            if getattr(cb, "on_test", False):
-                out = cb(self)
-                if out:
-                    results.update(out)
+        self.testing = True  # scheduled callbacks bypass their epoch gates
+        try:
+            for cb in self.callbacks:
+                if getattr(cb, "on_test", False):
+                    out = cb(self)
+                    if out:
+                        results.update(out)
+        finally:
+            self.testing = False
         return results

@@ -24,7 +24,7 @@ def test_calo_eval_callback(tmp_path, mesh):
         layers=1, frequencies=4, loss_type="CFM", global_cond_dim=1, local_cond_dim=1,
     )
     cb = CaloEvalCallback(every_n_epochs=1, num_showers=64, generation_batch_size=64,
-                          ode_steps=4, use_ema=False, w1_num_batches=2)
+                          ode_steps=4, use_ema=False, w1_num_batches=2, log_epoch_zero=True)
     trainer = Trainer(model=model, datamodule=dm, optimizer=make_optimizer(),
                       max_epochs=1, callbacks=[cb], verbose=False, mesh=mesh)
     trainer.fit()

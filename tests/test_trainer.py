@@ -39,6 +39,7 @@ def make_setup(tmp_path, max_epochs=2):
     )
     cb = JetNetEvalCallback(
         every_n_epochs=1,
+        log_epoch_zero=True,
         num_jet_samples=128,
         generation_batch_size=64,
         w1_kwargs=dict(num_batches=2, num_eval_samples=100),
