@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from particle_fm_tpu.data.utils import get_jet_data
-from particle_fm_tpu.native.binding import exclusive_kt_axes
+from particle_fm_tpu.native.binding import exclusive_kt_axes, kt_split_scales
 
 
 @functools.partial(jax.jit, static_argnames=("beta",))
@@ -105,6 +105,9 @@ def compute_substructure(
         tau21 = np.where(tau1 > 0, tau2 / np.maximum(tau1, 1e-30), 0.0)
         tau32 = np.where(tau2 > 0, tau3 / np.maximum(tau2, 1e-30), 0.0)
 
+    # kt splitting scales d12/d23 (reference jet_substructure.py:86-181)
+    splits = kt_split_scales(pt, eta, phi, R=R0, n_scales=2)
+
     return {
         "jet_pt": jets[:, 0],
         "jet_mass": jets[:, 3],
@@ -116,6 +119,8 @@ def compute_substructure(
         "e2": e2,
         "e3": e3,
         "d2": d2,
+        "d12": splits[:, 0],
+        "d23": splits[:, 1],
     }
 
 

@@ -43,6 +43,11 @@ def get_lib() -> ctypes.CDLL:
         ctypes.c_double, ctypes.c_int, dp, ip,
     ]
     lib.exclusive_kt_axes_events.restype = None
+    lib.kt_split_scales_events.argtypes = [
+        dp, dp, dp, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int, dp,
+    ]
+    lib.kt_split_scales_events.restype = None
     _lib = lib
     return lib
 
@@ -83,6 +88,23 @@ def cluster_events(
         max_jets,
     )
     return jets, njets, const_jet
+
+
+def kt_split_scales(
+    pt: np.ndarray, eta: np.ndarray, phi: np.ndarray, R: float = 1.0, n_scales: int = 2
+) -> np.ndarray:
+    """kt splitting scales per event: out[:, 0] = d12 (2->1 merge),
+    out[:, 1] = d23, ... (sqrt of the exclusive-kt merge distance)."""
+    lib = get_lib()
+    pt = np.ascontiguousarray(pt, np.float64)
+    eta = np.ascontiguousarray(eta, np.float64)
+    phi = np.ascontiguousarray(phi, np.float64)
+    b, n = pt.shape
+    out = np.zeros((b, n_scales), np.float64)
+    lib.kt_split_scales_events(
+        _as_c(pt), _as_c(eta), _as_c(phi), b, n, R, n_scales, _as_c(out)
+    )
+    return out
 
 
 def exclusive_kt_axes(

@@ -234,6 +234,67 @@ int exclusive_kt_axes(const double* pt, const double* eta, const double* phi,
   return k;
 }
 
+// kt splitting scales: sqrt(dij * R^2) at the exclusive-kt merges that take
+// the event from N->N-1 jets (d12 = the final 2->1 merge, d23 = 3->2, ...).
+// Writes n_scales values (largest-N merge first missing scales = 0).
+int kt_split_scales(const double* pt, const double* eta, const double* phi,
+                    int n, double R, int n_scales, double* scales_out) {
+  ClusterState st;
+  st.pj.reserve(2 * n);
+  st.parent.reserve(2 * n);
+  for (int i = 0; i < n; i++) {
+    if (pt[i] <= 0) continue;
+    st.pj.push_back(make_pj(pt[i], eta[i], phi[i], 0.0));
+    st.parent.push_back((int)st.pj.size() - 1);
+  }
+  for (int s = 0; s < n_scales; s++) scales_out[s] = 0.0;
+  int n_alive = (int)st.pj.size();
+  if (n_alive == 0) return 0;
+  const double R2 = R * R;
+  std::vector<int> alive_idx;
+  for (size_t i = 0; i < st.pj.size(); i++) alive_idx.push_back((int)i);
+  int written = 0;
+  while (n_alive > 1) {
+    double best = std::numeric_limits<double>::infinity();
+    int bi = -1, bj = -1;
+    for (size_t a = 0; a < alive_idx.size(); a++) {
+      int i = alive_idx[a];
+      if (!st.pj[i].alive) continue;
+      for (size_t b = a + 1; b < alive_idx.size(); b++) {
+        int j = alive_idx[b];
+        if (!st.pj[j].alive) continue;
+        double dij = std::min(pow2p(st.pj[i].pt, 1.0), pow2p(st.pj[j].pt, 1.0)) *
+                     dr2(st.pj[i], st.pj[j]) / R2;
+        if (dij < best) { best = dij; bi = i; bj = j; }
+      }
+    }
+    if (bi < 0) break;
+    // about to merge n_alive -> n_alive-1: if n_alive <= n_scales+1 record it
+    if (n_alive - 1 <= n_scales) {
+      scales_out[n_alive - 2] = std::sqrt(best * R2);  // d_{(k)(k+1)} with k = n_alive-1
+      written++;
+    }
+    PJ merged = combine(st.pj[bi], st.pj[bj], /*wta=*/false);
+    st.pj[bi].alive = false;
+    st.pj[bj].alive = false;
+    st.pj.push_back(merged);
+    st.parent.push_back((int)st.pj.size() - 1);
+    alive_idx.push_back((int)st.pj.size() - 1);
+    n_alive--;
+  }
+  return written;
+}
+
+void kt_split_scales_events(const double* pt, const double* eta,
+                            const double* phi, int n_events, int n_max,
+                            double R, int n_scales, double* scales_out) {
+  for (int e = 0; e < n_events; e++) {
+    kt_split_scales(pt + (int64_t)e * n_max, eta + (int64_t)e * n_max,
+                    phi + (int64_t)e * n_max, n_max, R, n_scales,
+                    scales_out + (int64_t)e * n_scales);
+  }
+}
+
 // Batched driver: events padded to n_max particles; zero-pt entries ignored.
 void cluster_events(const double* pt, const double* eta, const double* phi,
                     int n_events, int n_max, double R, double p, double min_pt,

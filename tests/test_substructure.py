@@ -120,3 +120,26 @@ def test_cluster_data_lhco_events():
     np.testing.assert_array_equal(consts * (1 - mask), 0.0)
     # each jet got ~30 constituents
     assert mask[..., 0].sum(axis=-1).mean() == pytest.approx(30, abs=2)
+
+
+def test_kt_split_scales_two_prong():
+    """d12 of a 2-prong jet ~ min(pt1, pt2) * dR; 1-prong d12 is small."""
+    from particle_fm_tpu.native.binding import kt_split_scales
+
+    rs = np.random.RandomState(0)
+    n = 20
+    # two prongs separated by dR = 0.8, each carrying ~half the pt
+    half = n // 2
+    pt2p = np.full((4, n), 10.0)
+    eta2p = np.concatenate([np.full((4, half), -0.4), np.full((4, half), 0.4)], axis=1)
+    eta2p += rs.normal(0, 0.02, (4, n))
+    phi2p = rs.normal(0, 0.02, (4, n))
+    d_2p = kt_split_scales(pt2p, eta2p, phi2p, R=1.0, n_scales=2)
+
+    eta1p = rs.normal(0, 0.02, (4, n))
+    d_1p = kt_split_scales(pt2p, eta1p, phi2p, R=1.0, n_scales=2)
+
+    # 2-prong: d12 ~ 100 GeV * 0.8; 1-prong: d12 well below
+    assert (d_2p[:, 0] > 50).all()
+    assert (d_1p[:, 0] < d_2p[:, 0] / 3).all()
+    assert (d_2p[:, 1] <= d_2p[:, 0] + 1e-9).all()  # d23 <= d12
