@@ -90,7 +90,14 @@ def _efps_device(eta, phi, pt, mask, n: int = 4, d: int = 4, beta: float = 1.0):
     for edges in enumerate_multigraphs(n, d):
         spec = _einsum_spec(edges, n)
         operands = [theta] * len(edges) + [z] * n
-        outs.append(jnp.einsum(spec, *operands, optimize=True))
+        # memory-capped contraction path: an unconstrained optimizer may pick
+        # outer-product intermediates of O(N^3+) elements per batch row
+        import opt_einsum
+
+        path, _ = opt_einsum.contract_path(
+            spec, *operands, memory_limit=4 * theta.size
+        )
+        outs.append(jnp.einsum(spec, *operands, optimize=path))
     return jnp.stack(outs, axis=-1)
 
 

@@ -37,7 +37,12 @@ def _ecfs_device(pt, eta, phi, mask, beta: float = 1.0):
     if beta != 1.0:
         theta = theta**beta
     e2 = 0.5 * jnp.einsum("bij,bi,bj->b", theta, z, z)
-    e3 = (1.0 / 6.0) * jnp.einsum("bij,bik,bjk,bi,bj,bk->b", theta, theta, theta, z, z, z)
+    # e3 via an explicit pairwise path: D_jk = sum_i z_i theta_ij theta_ik
+    # is a batched matmul (O(N^2) memory); a naive 6-operand einsum lets
+    # opt_einsum pick an outer-product path with an O(N^3) intermediate
+    # (56 GB at B=4096, N=150 — exceeds HBM)
+    d_jk = jnp.einsum("bij,bik,bi->bjk", theta, theta, z)
+    e3 = (1.0 / 6.0) * jnp.einsum("bjk,bjk,bj,bk->b", d_jk, theta, z, z)
     return e2, e3
 
 
