@@ -4,6 +4,7 @@ and instantiate (the reference's test_configs.py analogue — except ours pass).
 import glob
 import os
 
+import numpy as np
 import pytest
 
 from particle_fm_tpu.config.core import compose, deep_merge, instantiate
@@ -115,3 +116,29 @@ def test_train_cli_smoke(tmp_path):
     results = evaluate(run_dirs[0], ckpt="last")
     assert "w1m_mean" in results
     assert os.path.exists(os.path.join(run_dirs[0], "final_eval_metrics.yaml"))
+
+
+def test_train_cli_lhco_jet_features(tmp_path):
+    """CLI smoke for the flat-model path (LHCO stage 1)."""
+    from particle_fm_tpu.train import main
+
+    metrics = main(
+        [
+            "experiment=lhco/jet_features",
+            "data.synthetic=true",
+            "data.synthetic_num_events=1200",
+            "data.batch_size=64",
+            "trainer=smoke",
+            "trainer.max_epochs=2",
+            "trainer.save_last_every_n_epoch=1",
+            "callbacks.flat_eval.every_n_epochs=1",
+            "callbacks.flat_eval.log_epoch_zero=true",
+            "callbacks.flat_eval.num_samples=128",
+            "callbacks.flat_eval.generation_batch_size=64",
+            "callbacks.flat_eval.ode_steps=4",
+            "test=false",
+            f"output_dir={tmp_path}/run",
+        ]
+    )
+    assert "val_loss" in metrics and np.isfinite(metrics["val_loss"])
+    assert "w1_features_mean" in metrics and np.isfinite(metrics["w1_features_mean"])
