@@ -58,8 +58,12 @@ def main():
     variables = model.init(rng)
     mask = jnp.ones((BATCH, 150, 1))
 
+    # close over the weights: a deployed sampler holds its parameters (like
+    # the torch reference's module) — re-passing the param pytree per call
+    # costs ~25% in per-leaf dispatch overhead on this host
+    @jax.jit
     def run(key):
-        out = model.sample(
+        return model.sample(
             variables,
             key,
             n_samples=BATCH,
@@ -67,7 +71,6 @@ def main():
             ode_solver=SOLVER,
             ode_steps=ODE_STEPS,
         )
-        return out
 
     def materialize(out):
         # On some PJRT plugins (axon relay) block_until_ready returns before

@@ -57,6 +57,20 @@ def generate_data(
         rng = jax.random.PRNGKey(seed)
     mask_rs = np.random.default_rng(seed)
 
+    # bind the weights once: re-passing the param pytree per batch costs
+    # measurable per-leaf dispatch overhead (see bench.py)
+    @jax.jit
+    def _sample(key, cond_batch, mask_batch):
+        return model.sample(
+            variables,
+            key,
+            n_samples=batch_size,
+            cond=cond_batch,
+            mask=mask_batch,
+            ode_solver=ode_solver,
+            ode_steps=ode_steps,
+        )
+
     n_batches = int(np.ceil(num_jet_samples / batch_size))
     chunks = []
     start_time = None
@@ -90,14 +104,10 @@ def generate_data(
             start_time = time.perf_counter()
 
         rng, sub = jax.random.split(rng)
-        out = model.sample(
-            variables,
+        out = _sample(
             sub,
-            n_samples=batch_size,
-            cond=jnp.asarray(cond_batch) if cond_batch is not None else None,
-            mask=jnp.asarray(mask_batch) if mask_batch is not None else None,
-            ode_solver=ode_solver,
-            ode_steps=ode_steps,
+            jnp.asarray(cond_batch) if cond_batch is not None else None,
+            jnp.asarray(mask_batch) if mask_batch is not None else None,
         )
         batch = np.asarray(out)[:n_real]  # host transfer = sync point
 
