@@ -77,6 +77,9 @@ class CaloChallengeDataModule(ArrayDataModule):
         if self.train is not None:
             return
         raw_seqs, energies = self._load()
+        # truncate over-long showers to max_hits (the reference's dataloaders
+        # never see longer sequences either; without this _pad_to would crash)
+        raw_seqs = [s[: self.max_hits] for s in raw_seqs]
         # keep RAW sequences for batching: the alpha-rotation augmentation
         # operates on raw bin indices (reference inverse-transforms, shifts,
         # re-transforms — pad_collate_aug_fn); the scaler is applied per batch
@@ -186,5 +189,25 @@ class CaloChallengeDataModule(ArrayDataModule):
 
     @property
     def steps_per_epoch(self) -> int:
+        """Actual number of bucketed batches per epoch (token-budget batches
+        are smaller than batch_size, so len//batch_size would undercount and
+        corrupt schedule lengths / resume accounting)."""
         seqs, _ = self._splits["train"]
-        return max(1, len(seqs) // self.batch_size)
+        lengths = sorted(len(s) for s in seqs)
+        count = 0
+        i = 0
+        while i < len(lengths):
+            if self.max_tokens_per_batch:
+                bs = 1
+                while (
+                    bs < self.batch_size
+                    and i + bs < len(lengths)
+                    and (bs + 1) * self._bucket_len(lengths[i + bs])
+                    <= self.max_tokens_per_batch
+                ):
+                    bs += 1
+            else:
+                bs = self.batch_size
+            count += 1
+            i += bs
+        return max(count, 1)

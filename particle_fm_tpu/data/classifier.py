@@ -34,6 +34,11 @@ class GenVsRealDataModule(ArrayDataModule):
     val_fraction: float = 0.15
     test_fraction: float = 0.15
     normalize: bool = True
+    # super-set grouping: rows [i*S, (i+1)*S) belong to one event (e.g. the
+    # two jets of an LHCO dijet); shuffling/splitting keeps groups contiguous
+    # so EPiCDiscriminator(num_sup_sets=S) sees intact events. batch_size
+    # must be a multiple of S.
+    num_sup_sets: int = 1
     seed: int = 0
 
     @staticmethod
@@ -57,7 +62,11 @@ class GenVsRealDataModule(ArrayDataModule):
         if real is None or gen is None:
             raise ValueError("need real+gen arrays or files")
 
+        s = max(self.num_sup_sets, 1)
+        if self.batch_size % s:
+            raise ValueError(f"batch_size must be a multiple of num_sup_sets={s}")
         n = min(len(real), len(gen))
+        n -= n % s  # keep whole events
         x = np.concatenate([real[:n], gen[:n]], axis=0).astype(np.float32)
         labels = np.concatenate([np.ones(n), np.zeros(n)]).astype(np.float32)[:, None]
         if real_mask is not None and gen_mask is not None:
@@ -66,7 +75,9 @@ class GenVsRealDataModule(ArrayDataModule):
             mask = None
 
         rs = np.random.RandomState(self.seed)
-        perm = rs.permutation(len(x))
+        # permute whole super-set groups so event jets stay adjacent
+        n_groups = len(x) // s
+        perm = (rs.permutation(n_groups)[:, None] * s + np.arange(s)[None, :]).reshape(-1)
         x, labels = x[perm], labels[perm]
         if mask is not None:
             mask = mask[perm]
@@ -87,9 +98,11 @@ class GenVsRealDataModule(ArrayDataModule):
         n_val = int(self.val_fraction * n_total)
         n_test = int(self.test_fraction * n_total)
         lo, hi = n_total - n_val - n_test, n_total - n_test
+        lo -= lo % s  # split on event boundaries
+        hi -= hi % s
 
-        def sl(a, s, e):
-            return a[s:e] if a is not None else None
+        def sl(a, start, end):
+            return a[start:end] if a is not None else None
 
         self.train = Split(x[:lo], sl(mask, 0, lo), labels[:lo])
         self.val = Split(x[lo:hi], sl(mask, lo, hi), labels[lo:hi])
@@ -98,3 +111,22 @@ class GenVsRealDataModule(ArrayDataModule):
         self.mask_test = self.test.mask
         self.tensor_conditioning_test = self.test.cond
         self.variable_jet_sizes = mask is not None
+
+    def _batches(self, split, rng, drop_last):
+        """Group-preserving batching: shuffle events (groups of num_sup_sets
+        rows), not individual rows."""
+        s = max(self.num_sup_sets, 1)
+        if s == 1:
+            yield from super()._batches(split, rng, drop_last)
+            return
+        n_groups = len(split) // s
+        order = np.arange(n_groups)
+        if rng is not None:
+            rng.shuffle(order)
+        idx = (order[:, None] * s + np.arange(s)[None, :]).reshape(-1)
+        stop = len(idx) - (len(idx) % self.batch_size) if drop_last else len(idx)
+        for start in range(0, stop, self.batch_size):
+            sel = idx[start : start + self.batch_size]
+            mask = split.mask[sel] if split.mask is not None else None
+            cond = split.cond[sel] if split.cond is not None else None
+            yield split.x[sel], mask, cond

@@ -227,8 +227,11 @@ class JetClassDataModule(ArrayDataModule):
         self.labels_val = data["val"]["labels"]
         self.labels_test = data["test"]["labels"]
 
-        # un-standardized eval tensors + training min/max per feature
-        self.means, self.stds = part_means, part_stds
+        # un-standardized eval tensors + training min/max per feature.
+        # means/stds are only exposed when training data IS standardized —
+        # consumers key "needs inverse-normalization" off `means is not None`
+        if self.normalize:
+            self.means, self.stds = part_means, part_stds
         unstd = {}
         for split in ("train", "val", "test"):
             x, m = data[split]["x"], data[split]["mask"]
@@ -246,20 +249,19 @@ class JetClassDataModule(ArrayDataModule):
         self.tensor_conditioning_test = conds["test"]
 
         sigma = self.normalize_sigma if self.normalize else None
-        def dl(split):
-            x = data[split]["x"].astype(np.float32)
-            if sigma is not None:
-                x = x * sigma
-            else:
-                x = unstd[split].astype(np.float32)
-            return x
 
-        for name, arr in [("train", dl("train")), ("val", dl("val")), ("test", dl("test"))]:
+        def dl(split):
+            if sigma is not None:
+                return data[split]["x"].astype(np.float32) * sigma
+            return unstd[split].astype(np.float32)
+
+        arrays = {name: dl(name) for name in ("train", "val", "test")}
+        for name, arr in arrays.items():
             if np.isnan(arr).any():
                 raise ValueError("NaNs found in particle data!")
-        self.train = Split(dl("train"), self.mask_train, conds["train"])
-        self.val = Split(dl("val"), self.mask_val, conds["val"])
-        self.test = Split(dl("test"), self.mask_test, conds["test"])
+        self.train = Split(arrays["train"], self.mask_train, conds["train"])
+        self.val = Split(arrays["val"], self.mask_val, conds["val"])
+        self.test = Split(arrays["test"], self.mask_test, conds["test"])
 
     def _handle_conditioning(self, jet_data, names_jet, names_labels):
         """One-hot the jet type + selected jet kinematics. Conditioning is

@@ -20,6 +20,17 @@ from particle_fm_tpu.eval.metrics import calculate_all_wasserstein_metrics
 from particle_fm_tpu.training.logging_scheduler import should_log
 
 
+def _tile_to(a, n: int):
+    """Tile conditioning/masks along the batch axis to cover n samples
+    (oversampled generation, reference jetnet_final_eval.py semantics)."""
+    if a is None:
+        return None
+    if len(a) >= n:
+        return a[:n]
+    reps = -(-n // len(a))
+    return np.concatenate([a] * reps, axis=0)[:n]
+
+
 @dataclass
 class CaloEvalCallback:
     """CaloChallenge in-training eval: per-feature hit W1 (E, z, alpha, r),
@@ -227,12 +238,12 @@ class JetNetEvalCallback:
         dm = trainer.datamodule
         real, mask, cond = self._arrays(dm)
         # reference semantics: negative num_jet_samples = |n| x the dataset
-        # size (capped by the available conditioning/masks)
-        n = (
-            min(abs(self.num_jet_samples) * len(real), len(real))
-            if self.num_jet_samples < 0
-            else min(self.num_jet_samples, len(real))
-        )
+        # size, with conditioning/masks tiled to cover the oversample
+        if self.num_jet_samples < 0:
+            n = abs(self.num_jet_samples) * len(real)
+        else:
+            n = self.num_jet_samples
+        cond_n, mask_n = _tile_to(cond, n), _tile_to(mask, n)
         variables = jax.device_get(trainer.state.variables(ema=self.use_ema))
 
         gen, gen_time = generate_data(
@@ -241,13 +252,15 @@ class JetNetEvalCallback:
             num_jet_samples=n,
             rng=jax.random.PRNGKey(self.seed),
             batch_size=self.generation_batch_size,
-            cond=cond[:n] if cond is not None else None,
+            cond=cond_n,
             variable_set_sizes=dm.variable_jet_sizes,
-            mask=mask[:n] if mask is not None else None,
+            mask=mask_n,
             normalized_data=dm.means is not None,
             normalize_sigma=getattr(dm, "normalize_sigma", 5),
             means=dm.means,
             stds=dm.stds,
+            log_pt=getattr(dm, "log_pt", False),
+            pt_standardization=getattr(dm, "pt_standardization", False),
             ode_solver=self.ode_solver,
             ode_steps=self.ode_steps,
         )
@@ -290,7 +303,8 @@ class FinalEvalCallback(JetNetEvalCallback):
 
         dm = trainer.datamodule
         real, mask, cond = self._arrays(dm)
-        n = min(int(len(real) * self.num_samples_factor), len(real))
+        n = max(int(len(real) * self.num_samples_factor), 1)
+        cond_n, mask_n = _tile_to(cond, n), _tile_to(mask, n)
         variables = jax.device_get(trainer.state.variables(ema=self.use_ema))
         gen, gen_time = generate_data(
             trainer.model,
@@ -298,13 +312,15 @@ class FinalEvalCallback(JetNetEvalCallback):
             num_jet_samples=n,
             rng=jax.random.PRNGKey(self.seed),
             batch_size=self.generation_batch_size,
-            cond=cond[:n] if cond is not None else None,
+            cond=cond_n,
             variable_set_sizes=dm.variable_jet_sizes,
-            mask=mask[:n] if mask is not None else None,
+            mask=mask_n,
             normalized_data=dm.means is not None,
             normalize_sigma=getattr(dm, "normalize_sigma", 5),
             means=dm.means,
             stds=dm.stds,
+            log_pt=getattr(dm, "log_pt", False),
+            pt_standardization=getattr(dm, "pt_standardization", False),
             ode_solver=self.ode_solver,
             ode_steps=self.ode_steps,
         )

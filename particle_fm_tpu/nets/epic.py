@@ -251,14 +251,14 @@ class EPiCDiscriminator(nn.Module):
         z_mean, z_sum = meansum_pool(h, mask, self.sum_scale)
         g_final = cat(z_sum, z_mean, g)
         if self.num_sup_sets > 1:
-            # (B*S, D) -> (B, S*D). The LHCO "all" layout stacks jets in
-            # Fortran order ([all leading jets; all subleading jets],
-            # data/lhco.py select()), so an event's jets sit at i and i + B —
-            # group per event accordingly, NOT by adjacency.
+            # (B*S, D) -> (B/S... , S*D): ADJACENT rows form one event, like
+            # the reference (epic.py:584-590). Callers must supply
+            # event-adjacent jets and keep groups intact through
+            # shuffling/batching (GenVsRealDataModule(num_sup_sets=S) does) —
+            # note the generative LHCO "all" layout is Fortran-ordered and is
+            # NOT directly compatible with this head.
             d = g_final.shape[-1]
-            g_final = jnp.swapaxes(
-                g_final.reshape(self.num_sup_sets, -1, d), 0, 1
-            ).reshape(-1, self.num_sup_sets * d)
+            g_final = g_final.reshape(-1, self.num_sup_sets * d)
         out = act(dense(self.hid_dim, "fc_d1")(g_final))
         out = act(dense(self.hid_dim, "fc_d2")(out) + out)
         out = dense(self.out_dim, "fc_out")(out)
@@ -310,9 +310,8 @@ class EPiCDiscriminatorHierarchical(nn.Module):
             name="particle_trunk",
         )
         jet_feats = particle_trunk(x, mask=mask, deterministic=deterministic)  # (B*S, H)
-        # Fortran-order jet stacking (see EPiCDiscriminator above): an
-        # event's jets are at i and i + B
-        jet_set = jnp.swapaxes(jet_feats.reshape(s, -1, feat_dim), 0, 1)  # (B, S, H)
+        # ADJACENT rows form one event (see EPiCDiscriminator above)
+        jet_set = jet_feats.reshape(-1, s, feat_dim)  # (B, S, H)
 
         # jet level: a tiny set encoder over the S jets
         jet_trunk = EPiCDiscriminator(

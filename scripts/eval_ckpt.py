@@ -70,7 +70,6 @@ def main():
 
     import jax
 
-    from particle_fm_tpu.config.core import instantiate, load_config
     from particle_fm_tpu.eval.generation import generate_data
     from particle_fm_tpu.eval.metrics import (
         calculate_all_wasserstein_metrics,
@@ -79,33 +78,10 @@ def main():
     )
     from particle_fm_tpu.eval.plotting import plot_data
     from particle_fm_tpu.eval.substructure import compute_substructure
-    from particle_fm_tpu.evaluate import evaluate  # noqa: F401 (config plumbing shared)
-    from particle_fm_tpu.parallel.train import create_train_state, make_optimizer
-    from particle_fm_tpu.train import build_lr
-    from particle_fm_tpu.training.checkpoint import CheckpointManager
+    from particle_fm_tpu.utils.run_io import load_run
 
-    cfg = load_config(os.path.join(args.run_dir, "config.yaml"))
-    dm = instantiate(cfg["data"])
-    dm.setup()
-    model_cfg = dict(cfg["model"])
-    opt_cfg = model_cfg.pop("optimizer", {})
-    sched_cfg = model_cfg.pop("scheduler", None)
-    model = instantiate(model_cfg)
-    optimizer = make_optimizer(
-        lr=build_lr(opt_cfg, sched_cfg, max(dm.steps_per_epoch, 1)),
-        weight_decay=opt_cfg.get("weight_decay", 5e-5),
-        grad_clip=cfg.get("trainer", {}).get("grad_clip", 0.5),
-    )
-    state = create_train_state(model, jax.random.PRNGKey(0), optimizer)
-    cm = CheckpointManager(
-        os.path.join(args.run_dir, "checkpoints"),
-        cfg.get("trainer", {}).get("ckpt_monitors", {"val_loss": "min"}),
-    )
-    path = cm.last_path() if args.ckpt == "last" else (
-        cm.best_path(next(iter(cm.monitors))) or cm.last_path()
-    )
-    state = cm.restore(path, state)
-    print(f"[eval_ckpt] restored {path}")
+    cfg, dm, model, variables = load_run(args.run_dir, args.ckpt, ema=True)
+    print(f"[eval_ckpt] restored {args.ckpt} checkpoint from {args.run_dir}")
 
     real = dm.tensor_test
     mask = dm.mask_test
@@ -121,7 +97,7 @@ def main():
     else:
         gen, gen_time = generate_data(
             model,
-            jax.device_get(state.variables(ema=True)),
+            variables,
             num_jet_samples=n,
             batch_size=args.batch_size,
             cond=cond[:n] if cond is not None else None,

@@ -22,35 +22,11 @@ import numpy as np
 
 
 def load_run(run_dir: str, ckpt: str = "best"):
-    import jax
+    """Shared loader (particle_fm_tpu.utils.run_io); kept as an alias for
+    backwards compatibility with earlier script imports."""
+    from particle_fm_tpu.utils.run_io import load_run as _load
 
-    from particle_fm_tpu.config.core import instantiate, load_config
-    from particle_fm_tpu.parallel.train import create_train_state, make_optimizer
-    from particle_fm_tpu.train import build_lr
-    from particle_fm_tpu.training.checkpoint import CheckpointManager
-
-    cfg = load_config(os.path.join(run_dir, "config.yaml"))
-    dm = instantiate(cfg["data"])
-    dm.setup()
-    model_cfg = dict(cfg["model"])
-    opt_cfg = model_cfg.pop("optimizer", {})
-    sched_cfg = model_cfg.pop("scheduler", None)
-    model = instantiate(model_cfg)
-    optimizer = make_optimizer(
-        lr=build_lr(opt_cfg, sched_cfg, max(dm.steps_per_epoch, 1)),
-        weight_decay=opt_cfg.get("weight_decay", 5e-5),
-        grad_clip=cfg.get("trainer", {}).get("grad_clip", 0.5),
-    )
-    state = create_train_state(model, jax.random.PRNGKey(0), optimizer)
-    cm = CheckpointManager(
-        os.path.join(run_dir, "checkpoints"),
-        cfg.get("trainer", {}).get("ckpt_monitors", {"val_loss": "min"}),
-    )
-    path = cm.last_path() if ckpt == "last" else (
-        cm.best_path(next(iter(cm.monitors))) or cm.last_path()
-    )
-    state = cm.restore(path, state)
-    return cfg, dm, model, jax.device_get(state.variables(ema=True))
+    return _load(run_dir, ckpt, ema=True)
 
 
 def main():
