@@ -353,11 +353,14 @@ class FinalEvalCallback(JetNetEvalCallback):
             # FPD/KPD on the EFP feature set (the metric pair of the
             # BASELINE north star: W1M/FPD parity)
             from particle_fm_tpu.eval.efp import efps
-            from particle_fm_tpu.eval.metrics import fpd, kpd
+            from particle_fm_tpu.eval.metrics import fpd_infinite, kpd
 
             e_real = efps(real[:n])
             e_gen = efps(gen)
-            metrics["fpd"] = fpd(e_real, e_gen)
+            # official jetnet protocol: extrapolate the O(1/N) bias away
+            fpd_val, fpd_err = fpd_infinite(e_real, e_gen)
+            metrics["fpd"] = fpd_val
+            metrics["fpd_err"] = fpd_err
             kpd_med, kpd_std = kpd(e_real, e_gen)
             metrics["kpd_median"] = kpd_med
             metrics["kpd_std"] = kpd_std

@@ -156,19 +156,11 @@ def calculate_all_wasserstein_metrics(
 # --------------------------------------------------------------- FPD / KPD
 
 
-def fpd(real_features: np.ndarray, gen_features: np.ndarray) -> float:
-    """Frechet physics distance between standardized feature sets.
-
-    Gaussian-approximation Frechet distance ||mu1-mu2||^2 +
-    Tr(C1 + C2 - 2 sqrt(C1 C2)); features standardized by the real set's
-    mean/std (the convention of the FPD paper used by jetnet.evaluation.fpd).
-    """
+def _frechet_gaussian_distance(r: np.ndarray, g: np.ndarray) -> float:
+    """||mu1-mu2||^2 + Tr(C1 + C2 - 2 sqrt(C1 C2)) on already-standardized
+    feature sets."""
     from scipy import linalg
 
-    mu_r = real_features.mean(axis=0)
-    sd_r = real_features.std(axis=0) + 1e-12
-    r = (real_features - mu_r) / sd_r
-    g = (gen_features - mu_r) / sd_r
     mu1, mu2 = r.mean(axis=0), g.mean(axis=0)
     c1 = np.cov(r, rowvar=False)
     c2 = np.cov(g, rowvar=False)
@@ -176,6 +168,69 @@ def fpd(real_features: np.ndarray, gen_features: np.ndarray) -> float:
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(np.sum((mu1 - mu2) ** 2) + np.trace(c1 + c2 - 2.0 * covmean))
+
+
+def _standardize_pair(real_features, gen_features):
+    mu_r = real_features.mean(axis=0)
+    sd_r = real_features.std(axis=0) + 1e-12
+    return (real_features - mu_r) / sd_r, (gen_features - mu_r) / sd_r
+
+
+def fpd(real_features: np.ndarray, gen_features: np.ndarray) -> float:
+    """Frechet physics distance between standardized feature sets.
+
+    Gaussian-approximation Frechet distance ||mu1-mu2||^2 +
+    Tr(C1 + C2 - 2 sqrt(C1 C2)); features standardized by the real set's
+    mean/std (the convention of the FPD paper used by jetnet.evaluation.fpd).
+    This is the plain finite-sample value; `fpd_infinite` extrapolates the
+    sample-size bias away like the official jetnet protocol.
+    """
+    r, g = _standardize_pair(real_features, gen_features)
+    return _frechet_gaussian_distance(r, g)
+
+
+def fpd_infinite(
+    real_features: np.ndarray,
+    gen_features: np.ndarray,
+    min_samples: int = 5000,
+    max_samples: int = 50000,
+    num_batches: int = 20,
+    num_points: int = 10,
+    seed: int = 42,
+) -> tuple[float, float]:
+    """FPD extrapolated to infinite sample size (the official protocol of
+    jetnet.evaluation.fpd / the FPD paper, arXiv:2211.10295).
+
+    The Gaussian Frechet distance has an O(1/N) finite-sample bias, so the
+    protocol measures the mean FD over `num_batches` random subsets at
+    `num_points` subset sizes spaced uniformly in 1/N between `min_samples`
+    and `max_samples`, fits a line in 1/N, and reports the intercept
+    (value at N -> infinity) with its fit standard error.
+    """
+    n_avail = min(len(real_features), len(gen_features))
+    max_samples = min(max_samples, n_avail)
+    min_samples = min(min_samples, max_samples // 2 if max_samples >= 2 else 1)
+    min_samples = max(min_samples, real_features.shape[-1] + 2)  # cov needs N > d
+    r_all, g_all = _standardize_pair(real_features, gen_features)
+
+    rng = np.random.default_rng(seed)
+    inv_n = np.linspace(1.0 / min_samples, 1.0 / max_samples, num_points)
+    sizes = np.unique((1.0 / inv_n).astype(int))
+    xs, ys = [], []
+    for n in sizes:
+        vals = [
+            _frechet_gaussian_distance(
+                r_all[rng.choice(len(r_all), size=n, replace=False)],
+                g_all[rng.choice(len(g_all), size=n, replace=False)],
+            )
+            for _ in range(num_batches)
+        ]
+        xs.append(1.0 / n)
+        ys.append(float(np.mean(vals)))
+    if len(xs) < 3:  # too little data to fit: fall back to the full-set value
+        return _frechet_gaussian_distance(r_all, g_all), float("nan")
+    params, cov = np.polyfit(xs, ys, 1, cov=True)
+    return float(params[1]), float(np.sqrt(np.diag(cov)[1]))
 
 
 def kpd(real_features: np.ndarray, gen_features: np.ndarray, num_batches: int = 10,

@@ -62,8 +62,11 @@ def build_lr(optimizer_cfg: dict, scheduler_cfg: dict | None, steps_per_epoch: i
     raise ValueError(f"unknown scheduler {name}")
 
 
-def train(cfg: dict) -> tuple[dict, dict]:
-    """Returns (metrics, objects) like the reference's train()."""
+def train(cfg: dict, extra_callbacks: list | None = None) -> tuple[dict, dict]:
+    """Returns (metrics, objects) like the reference's train().
+
+    `extra_callbacks` lets programmatic drivers (e.g. the hparam sweep's
+    pruning callback) attach callbacks that aren't expressible in config."""
     out_dir = os.path.join(
         cfg.get("output_dir", "runs/train"), time.strftime("%Y-%m-%d_%H-%M-%S")
     )
@@ -99,7 +102,7 @@ def train(cfg: dict) -> tuple[dict, dict]:
         grad_clip=trainer_cfg.pop("grad_clip", 0.5),
     )
 
-    callbacks = build_callbacks(cfg.get("callbacks"))
+    callbacks = build_callbacks(cfg.get("callbacks")) + list(extra_callbacks or [])
     ema_cfg = trainer_cfg.pop("ema", {})
 
     trainer = Trainer(

@@ -65,6 +65,10 @@ class Trainer:
     state: TrainState = None
     epoch: int = 0
     metrics_history: list = field(default_factory=list)
+    last_metrics: dict = field(default_factory=dict)
+    # callbacks may set this (early stopping / trial pruning); the epoch loop
+    # breaks after checkpointing
+    should_stop: bool = False
 
     def __post_init__(self):
         if self.mesh is None:
@@ -157,7 +161,9 @@ class Trainer:
             if self.loss_per_jettype and epoch % self.loss_per_jettype_every_n == 0:
                 metrics.update(self._per_jettype_losses())
 
-            # eval callbacks may add metrics (e.g. w1m_mean) and drive ckpts
+            # eval callbacks may add metrics (e.g. w1m_mean) and drive ckpts;
+            # stopping/pruning callbacks read this epoch's metrics here
+            self.last_metrics = metrics
             for cb in self.callbacks:
                 out = cb(self)
                 if out:
@@ -173,6 +179,12 @@ class Trainer:
                         )
                 if (epoch + 1) % self.save_last_every_n_epoch == 0 or epoch == self.max_epochs - 1:
                     self.ckpt.save_last(self.state)
+            if self.should_stop:
+                if self.ckpt is not None:
+                    self.ckpt.save_last(self.state)
+                if self.verbose:
+                    print(f"[trainer] stop requested at epoch {epoch}")
+                break
         return self.state
 
     def _maybe_cache_train_data(self):

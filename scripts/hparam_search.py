@@ -10,7 +10,9 @@ Parity: the reference runs Optuna through the hydra sweeper
 (configs/hparams_search/*.yaml, train.py:119-141 returns the monitored
 metric). This driver does random search over categorical and log-uniform
 spaces, runs each trial through the same train() entry point, and writes a
-ranked summary.
+ranked summary. --prune enables Optuna-style median pruning: a trial whose
+monitored metric lags the median of completed trials at the same epoch is
+stopped early (particle_fm_tpu.training.stopping.MedianPruner).
 """
 
 from __future__ import annotations
@@ -36,6 +38,10 @@ def main():
     ap.add_argument("--space-log", nargs="*", default=[], help="key=lo:hi log-uniform float")
     ap.add_argument("--overrides", nargs="*", default=[])
     ap.add_argument("--out", default="hparam_search_results.json")
+    ap.add_argument("--prune", action="store_true",
+                    help="median-prune trials that lag completed ones (Optuna semantics)")
+    ap.add_argument("--prune-startup-trials", type=int, default=2)
+    ap.add_argument("--prune-warmup-epochs", type=int, default=0)
     args = ap.parse_args()
 
     from particle_fm_tpu.config.core import compose
@@ -52,6 +58,15 @@ def main():
         log_space[k] = (float(lo), float(hi))
 
     rs = np.random.RandomState(args.seed)
+    pruner = None
+    if args.prune:
+        from particle_fm_tpu.training.stopping import MedianPruner
+
+        pruner = MedianPruner(
+            mode=args.mode,
+            n_startup_trials=args.prune_startup_trials,
+            n_warmup_epochs=args.prune_warmup_epochs,
+        )
     results = []
     for trial in range(args.n_trials):
         picks = {k: choices[rs.randint(len(choices))] for k, choices in cat_space.items()}
@@ -69,13 +84,26 @@ def main():
         print(f"[hparam] trial {trial}: {picks}")
         cfg = compose(CONFIG_DIR, "train", overrides)
         cfg["test"] = False
+        prune_cb = None
+        extra = None
+        if pruner is not None:
+            from particle_fm_tpu.training.stopping import PruningCallback
+
+            prune_cb = PruningCallback(pruner, monitor=args.metric)
+            extra = [prune_cb]
         try:
-            metrics, _ = train(cfg)
+            metrics, _ = train(cfg, extra_callbacks=extra)
             value = float(metrics.get(args.metric, np.nan))
         except Exception as e:  # a bad config shouldn't kill the sweep
             print(f"[hparam] trial {trial} failed: {e}")
             value = float("nan")
-        results.append({"trial": trial, "params": picks, args.metric: value})
+        pruned = bool(prune_cb.pruned) if prune_cb is not None else False
+        if pruner is not None and prune_cb is not None and not pruned:
+            # only COMPLETED trials inform the median (Optuna semantics)
+            pruner.complete(prune_cb.history)
+        results.append(
+            {"trial": trial, "params": picks, args.metric: value, "pruned": pruned}
+        )
 
     sign = 1 if args.mode == "min" else -1
     # failed (NaN) trials always rank last, regardless of mode

@@ -131,6 +131,29 @@ def test_fpd_kpd_sanity():
     assert k_same < 0.05 and k_shift > k_same
 
 
+def test_fpd_infinite_extrapolation():
+    from particle_fm_tpu.eval.metrics import fpd_infinite
+
+    rs = np.random.RandomState(1)
+    real = rs.randn(20000, 5)
+    same = rs.randn(20000, 5)
+    shifted = rs.randn(20000, 5) + 1.0
+    # identical distributions: finite-sample FD at small N is clearly biased
+    # away from 0; the 1/N extrapolation should remove (most of) that bias
+    biased = fpd(real[:1000], same[:1000])
+    val, err = fpd_infinite(real, same, min_samples=1000, max_samples=20000,
+                            num_batches=5, num_points=8)
+    assert abs(val) < biased / 2
+    assert np.isfinite(err)
+    val_shift, _ = fpd_infinite(real, shifted, min_samples=1000,
+                                max_samples=20000, num_batches=5, num_points=8)
+    assert val_shift > 1.0
+    # degenerate input: falls back to the plain value
+    v, e = fpd_infinite(real[:40], same[:40], min_samples=30, max_samples=40,
+                        num_batches=2, num_points=2)
+    assert np.isfinite(v)
+
+
 def test_generate_data_driver():
     from particle_fm_tpu.models.flow_matching import FlowMatchingModel
 
