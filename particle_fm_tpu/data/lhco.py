@@ -18,6 +18,12 @@ LHCOJetFeatureDataModule — flat dijet features for the two-stage pipeline's
 stage 1: data = (jet1, jet2) x (pt, eta, phi, m) + multiplicities -> (B, 10),
 conditioning = mjj.
 
+LHCOWholeEventDataModule — the raw event record as ONE point cloud (up to
+560 particles, no jet clustering), conditioned on mjj. Parity:
+particle_fm/data/lhco_complex_data_datamodule.py:24-478 (the reference's
+`centering` / `use_calculated_base_distribution` params are accepted but dead
+there — imports never called in setup — and are not carried over).
+
 Known reference bug NOT replicated: with pt_standardization the reference
 normalizes the validation pt with sigma=2 while training uses sigma=5
 (lhco_datamodule.py:474-489); we use sigma=5 consistently.
@@ -235,6 +241,142 @@ class LHCODataModule(ArrayDataModule):
 
                 c_tr, c_va, c_te = cnorm(c_tr), cnorm(c_va), cnorm(c_te)
                 cs_tr, cs_va, cs_te = cnorm(cs_tr), cnorm(cs_va), cnorm(cs_te)
+
+        self.tensor_conditioning_train = c_tr
+        self.tensor_conditioning_val = c_va
+        self.tensor_conditioning_test = c_te
+        self.tensor_conditioning_train_sr = cs_tr
+        self.tensor_conditioning_val_sr = cs_va
+        self.tensor_conditioning_test_sr = cs_te
+
+        self.train = Split(x_tr.astype(np.float32), m_tr, c_tr)
+        self.val = Split(x_va.astype(np.float32), m_va, c_va)
+        self.test = Split(x_te.astype(np.float32), m_te, c_te)
+
+
+@dataclass
+class LHCOWholeEventDataModule(ArrayDataModule):
+    """Whole LHCO events as single point clouds conditioned on mjj.
+
+    Loads the raw `events_anomalydetection_v2.h5` record (background rows,
+    700 hadrons, truncated to `num_particles`), computes mjj from the
+    clustered dijet file to cut the sideband / signal-region windows, and
+    normalizes with masked train-split statistics. SR twins are exposed as
+    `*_sr` tensors like LHCODataModule.
+    Parity: particle_fm/data/lhco_complex_data_datamodule.py:122-478.
+    """
+
+    data_dir: str = "data/"
+    val_fraction: float = 0.05
+    test_fraction: float = 0.35
+    num_particles: int = 560
+    variable_jet_sizes: bool = True
+    normalize: bool = True
+    normalize_sigma: float = 5
+    seed: int = 0
+    synthetic: bool = False
+    synthetic_num_events: int = 4000
+
+    tensor_train_sr: Optional[np.ndarray] = None
+    mask_train_sr: Optional[np.ndarray] = None
+    tensor_val_sr: Optional[np.ndarray] = None
+    mask_val_sr: Optional[np.ndarray] = None
+    tensor_test_sr: Optional[np.ndarray] = None
+    mask_test_sr: Optional[np.ndarray] = None
+    tensor_conditioning_train_sr: Optional[np.ndarray] = None
+    tensor_conditioning_val_sr: Optional[np.ndarray] = None
+    tensor_conditioning_test_sr: Optional[np.ndarray] = None
+
+    def _load(self):
+        """Returns (particle_data (B, N, [pt,eta,phi]), mask (B, N, 1), mjj (B,))."""
+        if self.synthetic:
+            jets, consts, mask = synthetic_lhco(
+                self.synthetic_num_events, max(self.num_particles // 2, 8), seed=self.seed
+            )
+            # merge the two jets' constituents into one event cloud
+            pd_ = consts.reshape(consts.shape[0], -1, consts.shape[-1])
+            mk = mask.reshape(mask.shape[0], -1, mask.shape[-1])
+            mjj = get_mjj(jets[:, 0], jets[:, 1])
+            return pd_, mk, mjj
+
+        import pandas as pandas_mod
+
+        raw_path = os.path.join(self.data_dir, "lhco", "events_anomalydetection_v2.h5")
+        df = np.asarray(pandas_mod.read_hdf(raw_path))
+        background = df[df[:, 2100] == 0]
+        particle_data = background[:, :2100].reshape(-1, 700, 3)[:, : self.num_particles, :]
+        mask = np.expand_dims((particle_data[..., 0] > 0).astype(np.float32), axis=-1)
+
+        import h5py
+
+        jet_path = os.path.join(
+            self.data_dir, "lhco", "final_data", "processed_data_background_rel.h5"
+        )
+        with h5py.File(jet_path, "r") as f:
+            jet_data = np.asarray(f["jet_data"])
+        mjj = get_mjj(jet_data[:, 0], jet_data[:, 1])
+        return particle_data, mask, mjj
+
+    def setup(self) -> None:
+        if self.train is not None:
+            return
+        particle_data, mask, mjj = self._load()
+
+        keep = ((mjj < 3300) & (mjj > 2300)) | ((mjj > 3700) & (mjj < 5000))
+        keep_sr = (mjj > 3300) & (mjj < 3700)
+        pd_, mk = particle_data[keep], mask[keep]
+        pd_sr, mk_sr = particle_data[keep_sr], mask[keep_sr]
+        cond = mjj[keep].reshape(-1, 1).astype(np.float32)
+        cond_sr = mjj[keep_sr].reshape(-1, 1).astype(np.float32)
+
+        # reorder (pt, eta, phi) -> (eta, phi, pt) to match JetNet conventions
+        def prep(pd_, mk):
+            return np.concatenate([pd_[:, :, [1, 2, 0]], mk], axis=-1)
+
+        x, m, _, _ = mask_data(
+            prep(pd_, mk), None, self.num_particles, self.variable_jet_sizes
+        )
+        x_sr, m_sr, _, _ = mask_data(
+            prep(pd_sr, mk_sr), None, self.num_particles, self.variable_jet_sizes
+        )
+
+        x_tr, x_va, x_te = _split3(x, self.val_fraction, self.test_fraction)
+        m_tr, m_va, m_te = _split3(m, self.val_fraction, self.test_fraction)
+        xs_tr, xs_va, xs_te = _split3(x_sr, self.val_fraction, self.test_fraction)
+        ms_tr, ms_va, ms_te = _split3(m_sr, self.val_fraction, self.test_fraction)
+        c_tr, c_va, c_te = _split3(cond, self.val_fraction, self.test_fraction)
+        cs_tr, cs_va, cs_te = _split3(cond_sr, self.val_fraction, self.test_fraction)
+
+        # raw tensors for eval callbacks (physical units)
+        self.tensor_train, self.mask_train = x_tr.copy(), m_tr
+        self.tensor_val, self.mask_val = x_va.copy(), m_va
+        self.tensor_test, self.mask_test = x_te.copy(), m_te
+        self.tensor_train_sr, self.mask_train_sr = xs_tr.copy(), ms_tr
+        self.tensor_val_sr, self.mask_val_sr = xs_va.copy(), ms_va
+        self.tensor_test_sr, self.mask_test_sr = xs_te.copy(), ms_te
+
+        if self.normalize:
+            means, stds = masked_mean_std(x_tr, m_tr)
+            self.means, self.stds = means, stds
+
+            def norm(x, m):
+                z = normalize_tensor(x, means, stds, self.normalize_sigma)
+                return (z * m).astype(np.float32)
+
+            x_tr, x_va = norm(x_tr, m_tr), norm(x_va, m_va)
+            xs_tr, xs_va = norm(xs_tr, ms_tr), norm(xs_va, ms_va)
+
+            self.cond_means = c_tr.mean(axis=0)
+            stds_c = c_tr.std(axis=0, ddof=1)
+            self.cond_stds = np.where(stds_c == 0, 1.0, stds_c)
+
+            def cnorm(c):
+                return normalize_tensor(
+                    c, self.cond_means, self.cond_stds, self.normalize_sigma
+                ).astype(np.float32)
+
+            c_tr, c_va, c_te = cnorm(c_tr), cnorm(c_va), cnorm(c_te)
+            cs_tr, cs_va, cs_te = cnorm(cs_tr), cnorm(cs_va), cnorm(cs_te)
 
         self.tensor_conditioning_train = c_tr
         self.tensor_conditioning_val = c_va

@@ -125,7 +125,8 @@ def mask_data(
     if not variable_jet_sizes:
         keep = particle_data[:, :, 3].sum(axis=1) == num_particles
         particle_data = particle_data[keep]
-        jet_data = jet_data[keep]
+        if jet_data is not None:
+            jet_data = jet_data[keep]
     else:
         particle_data = particle_data[:, :num_particles, :]
     x = particle_data[:, :, :3].astype(np.float32)

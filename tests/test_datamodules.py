@@ -6,7 +6,11 @@ import pytest
 from particle_fm_tpu.data.calo import CaloChallengeDataModule
 from particle_fm_tpu.data.calo_scalers import DQ, LogitTransformer, ScalerBase, SqrtTransformer
 from particle_fm_tpu.data.jetclass import JetClassDataModule, synthetic_jetclass_file
-from particle_fm_tpu.data.lhco import LHCODataModule, LHCOJetFeatureDataModule
+from particle_fm_tpu.data.lhco import (
+    LHCODataModule,
+    LHCOJetFeatureDataModule,
+    LHCOWholeEventDataModule,
+)
 
 
 def test_lhco_sideband_sr_split():
@@ -56,6 +60,23 @@ def test_lhco_jet_features():
     assert x.shape == (32, 10)  # 2 jets x (pt, eta, phi, m) + 2 multiplicities
     assert c.shape == (32, 1)  # mjj conditioning
     assert dm.tensor_test_sr is not None
+
+
+def test_lhco_whole_event():
+    dm = LHCOWholeEventDataModule(num_particles=32, batch_size=16,
+                                  synthetic=True, synthetic_num_events=1200)
+    dm.setup()
+    x, m, c = next(iter(dm.train_batches()))
+    assert x.shape == (16, 32, 3) and m.shape == (16, 32, 1)
+    assert c.shape == (16, 1)  # mjj conditioning
+    assert np.isfinite(x).all()
+    np.testing.assert_array_equal(x * (1 - m), 0.0)
+    # SR twins for the anomaly pipeline
+    assert dm.tensor_test_sr is not None and dm.mask_test_sr is not None
+    assert dm.tensor_conditioning_test_sr is not None
+    # eval tensors stay in physical units: per-feature scale differs from the
+    # sigma-normalized train split
+    assert dm.tensor_train.shape == dm.train.x.shape
 
 
 def test_jetclass_datamodule(tmp_path):
