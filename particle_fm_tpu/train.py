@@ -105,6 +105,10 @@ def train(cfg: dict, extra_callbacks: list | None = None) -> tuple[dict, dict]:
     callbacks = build_callbacks(cfg.get("callbacks")) + list(extra_callbacks or [])
     ema_cfg = trainer_cfg.pop("ema", {})
 
+    # logger group (configs/logger/*): backends + per-backend kwargs
+    logger_cfg = dict(cfg.get("logger") or {})
+    logger_backends = tuple(logger_cfg.pop("backends", ["jsonl"]))
+
     trainer = Trainer(
         model=model,
         datamodule=dm,
@@ -115,6 +119,8 @@ def train(cfg: dict, extra_callbacks: list | None = None) -> tuple[dict, dict]:
         ema_start_step=ema_cfg.get("start_step", 0),
         ckpt_dir=os.path.join(out_dir, "checkpoints"),
         log_dir=out_dir,
+        logger_backends=logger_backends,
+        logger_kwargs=logger_cfg,
         seed=cfg.get("seed", 0),
         mesh=make_mesh(),
         **trainer_cfg,

@@ -3,8 +3,10 @@
 Parity: the reference supports 6 Lightning logger backends behind configs
 (configs/logger/{wandb,comet,tensorboard,mlflow,neptune,csv}.yaml). Here the
 always-on backends are JSONL + CSV; TensorBoard rides the baked-in
-tensorflow when available; wandb/comet activate only if their packages are
-importable (they are external services and not part of this image).
+tensorflow when available; wandb/comet/mlflow activate only if their
+packages are importable (external services, not part of this image) —
+MultiLogger skips unavailable ones with a warning. Select via the
+configs/logger/ group (e.g. `logger=wandb`).
 """
 
 from __future__ import annotations
@@ -82,11 +84,43 @@ class WandbLogger:  # pragma: no cover - external service
         self._run.finish()
 
 
+class CometLogger:  # pragma: no cover - external service
+    def __init__(self, log_dir: str, **kwargs):
+        import comet_ml
+
+        self._exp = comet_ml.Experiment(**kwargs)
+
+    def log_metrics(self, metrics: dict, step: int) -> None:
+        self._exp.log_metrics({k: float(v) for k, v in metrics.items()}, step=step)
+
+    def close(self) -> None:
+        self._exp.end()
+
+
+class MLFlowLogger:  # pragma: no cover - external service
+    def __init__(self, log_dir: str, **kwargs):
+        import mlflow
+
+        self._mlflow = mlflow
+        mlflow.set_tracking_uri(kwargs.pop("tracking_uri", f"file:{log_dir}/mlruns"))
+        if "experiment_name" in kwargs:
+            mlflow.set_experiment(kwargs.pop("experiment_name"))
+        self._run = mlflow.start_run(**kwargs)
+
+    def log_metrics(self, metrics: dict, step: int) -> None:
+        self._mlflow.log_metrics({k: float(v) for k, v in metrics.items()}, step=step)
+
+    def close(self) -> None:
+        self._mlflow.end_run()
+
+
 _BACKENDS = {
     "jsonl": JsonlLogger,
     "csv": CSVLogger,
     "tensorboard": TensorBoardLogger,
     "wandb": WandbLogger,
+    "comet": CometLogger,
+    "mlflow": MLFlowLogger,
 }
 
 

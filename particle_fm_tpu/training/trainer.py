@@ -49,6 +49,7 @@ class Trainer:
     save_last_every_n_epoch: int = 10
     log_dir: Optional[str] = None
     logger_backends: tuple = ("jsonl",)
+    logger_kwargs: dict = field(default_factory=dict)  # per-backend init kwargs
     loss_per_jettype: bool = False
     loss_per_jettype_every_n: int = 20
     # upload fixed-shape train data to the device once and shuffle there —
@@ -91,7 +92,11 @@ class Trainer:
             os.makedirs(self.log_dir, exist_ok=True)
             from particle_fm_tpu.training.loggers import MultiLogger
 
-            self.logger = MultiLogger(self.log_dir, backends=tuple(self.logger_backends))
+            self.logger = MultiLogger(
+                self.log_dir,
+                backends=tuple(self.logger_backends),
+                **(self.logger_kwargs or {}),
+            )
         else:
             self.logger = None
 

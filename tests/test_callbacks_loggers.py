@@ -68,6 +68,22 @@ def test_logger_backends(tmp_path):
     assert "a" in csv_text and "c" in csv_text  # header widened
 
 
+def test_logger_service_backends_skip_gracefully(tmp_path):
+    # wandb/comet/mlflow are external services not in this image: MultiLogger
+    # must skip them (warning) and keep the working backends
+    ml = MultiLogger(
+        str(tmp_path),
+        backends=("jsonl", "wandb", "comet", "mlflow"),
+        wandb={"project": "x"},
+        comet={"project_name": "x"},
+        mlflow={"experiment_name": "x"},
+    )
+    assert len(ml.loggers) >= 1
+    ml.log_metrics({"a": 1.0}, step=0)
+    ml.close()
+    assert os.path.exists(tmp_path / "metrics.jsonl")
+
+
 def test_gen_challenge_contract():
     dm = GenChallengeDataModule(batch_size=64, synthetic=True)
     dm.setup()
