@@ -118,8 +118,7 @@ def plot_data(
         fig.savefig(save_path)
         plt.close(fig)
         return save_path
-    plt.close(fig)
-    return None
+    return fig  # no path: hand the figure back (notebook display)
 
 
 def create_and_plot_data(real, gen, save_folder: str, plot_name: str = "plot", **kwargs):
@@ -140,8 +139,7 @@ def plot_substructure(hlvs_real: dict, hlvs_gen: dict, save_path: str | None = N
         fig.savefig(save_path)
         plt.close(fig)
         return save_path
-    plt.close(fig)
-    return None
+    return fig  # no path: hand the figure back (notebook display)
 
 
 def plot_loss_curves(metrics_history: list[dict], save_path: str | None = None,
@@ -162,8 +160,7 @@ def plot_loss_curves(metrics_history: list[dict], save_path: str | None = None,
         fig.savefig(save_path)
         plt.close(fig)
         return save_path
-    plt.close(fig)
-    return None
+    return fig  # no path: hand the figure back (notebook display)
 
 
 def plot_feature_ratios(real: np.ndarray, gen: np.ndarray, save_path: str | None = None,
@@ -202,5 +199,4 @@ def plot_feature_ratios(real: np.ndarray, gen: np.ndarray, save_path: str | None
         fig.savefig(save_path)
         plt.close(fig)
         return save_path
-    plt.close(fig)
-    return None
+    return fig  # no path: hand the figure back (notebook display)

@@ -1,13 +1,18 @@
 """Two-stage LHCO generation pipeline (offline driver).
 
+    # one constituent model for both jets (reference generate_data_lhco.py):
     python scripts/generate_data_lhco.py --stage1_run <dir> --stage2_run <dir>
-        [--n_samples N] [--out lhco_generated.h5]
+        [--n_samples N] [--out lhco_generated.h5] [--recluster]
+
+    # separate x-jet / y-jet models (reference generate_data_lhco_xy.py):
+    python scripts/generate_data_lhco.py --stage1_run <dir> \
+        --stage2_run <x_jet run> --stage2_run_y <y_jet run>
 
 Parity: reference scripts/generate_data_lhco.py / generate_data_lhco_xy.py /
 generate_data_lhco_clustering.py (SURVEY 3.4): sample stage-1 dijet jet
 features in the signal region (conditioned on mjj), condition the stage-2
-constituent model on them, optionally re-cluster the generated clouds with
-anti-kt (native fastjet_lite) and write everything to h5.
+constituent model(s) on them, optionally re-cluster the generated clouds
+with anti-kt (native fastjet_lite) and write everything to h5.
 """
 
 from __future__ import annotations
@@ -32,7 +37,10 @@ def load_run(run_dir: str, ckpt: str = "best"):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage1_run", required=True, help="jet-feature FM run dir")
-    ap.add_argument("--stage2_run", required=True, help="constituent FM run dir")
+    ap.add_argument("--stage2_run", required=True,
+                    help="constituent FM run dir (both jets, or the x jet with --stage2_run_y)")
+    ap.add_argument("--stage2_run_y", default=None,
+                    help="optional separate y-jet constituent run (two-model xy mode)")
     ap.add_argument("--n_samples", type=int, default=10000)
     ap.add_argument("--ode_steps", type=int, default=100)
     ap.add_argument("--batch_size", type=int, default=1024)
@@ -69,47 +77,56 @@ def main():
     print(f"[lhco] stage-1 features: {feats_phys.shape}")
 
     # ---------------- stage 2: constituents conditioned on stage-1 features
-    cfg2, dm2, model2, vars2 = load_run(args.stage2_run)
-    cond_dim = dm2.tensor_conditioning_train.shape[-1]
-    # stage-1 vector layout: (jet1, jet2) x (pt,eta,phi,m) + 2 multiplicities;
-    # the leading jet's features (+ multiplicity) condition the x-jet model
-    jets2 = feats_phys.reshape(len(feats_phys), 2, 5)
-    cond_stage2_phys = jets2[:, 0, :cond_dim]
-    cond_stage2 = normalize_tensor(
-        cond_stage2_phys, dm2.cond_means, dm2.cond_stds, getattr(dm2, "normalize_sigma", 5)
-    ).astype(np.float32)
-
-    # multiplicities drive the mask length
-    mult = np.clip(np.round(jets2[:, 0, 4]).astype(int), 1, dm2.num_particles)
-    ar = np.arange(dm2.num_particles)[None, :]
-    mask = (ar < mult[:, None]).astype(np.float32)[..., None]
-
     from particle_fm_tpu.eval.generation import generate_data
 
-    consts, gen_time = generate_data(
-        model2,
-        vars2,
-        num_jet_samples=args.n_samples,
-        batch_size=args.batch_size,
-        cond=cond_stage2,
-        variable_set_sizes=True,
-        mask=mask,
-        normalized_data=dm2.means is not None,
-        normalize_sigma=getattr(dm2, "normalize_sigma", 5),
-        means=dm2.means,
-        stds=dm2.stds,
-        log_pt=getattr(dm2, "log_pt", False),
-        pt_standardization=getattr(dm2, "pt_standardization", False),
-        ode_steps=args.ode_steps,
-    )
-    print(f"[lhco] stage-2 constituents: {consts.shape} ({gen_time:.1f}s)")
+    # stage-1 vector layout: (jet1, jet2) x (pt,eta,phi,m) + 2 multiplicities
+    jets2 = feats_phys.reshape(len(feats_phys), 2, 5)
 
+    def sample_jet(run_dir: str, jet_idx: int):
+        """Generate one jet's constituents from its stage-1 features."""
+        cfg2, dm2, model2, vars2 = load_run(run_dir)
+        cond_dim = dm2.tensor_conditioning_train.shape[-1]
+        cond_phys = jets2[:, jet_idx, :cond_dim]
+        cond = normalize_tensor(
+            cond_phys, dm2.cond_means, dm2.cond_stds, getattr(dm2, "normalize_sigma", 5)
+        ).astype(np.float32)
+        # multiplicities drive the mask length
+        mult = np.clip(np.round(jets2[:, jet_idx, 4]).astype(int), 1, dm2.num_particles)
+        ar = np.arange(dm2.num_particles)[None, :]
+        mask = (ar < mult[:, None]).astype(np.float32)[..., None]
+        consts, gen_time = generate_data(
+            model2,
+            vars2,
+            num_jet_samples=args.n_samples,
+            batch_size=args.batch_size,
+            cond=cond,
+            variable_set_sizes=True,
+            mask=mask,
+            normalized_data=dm2.means is not None,
+            normalize_sigma=getattr(dm2, "normalize_sigma", 5),
+            means=dm2.means,
+            stds=dm2.stds,
+            log_pt=getattr(dm2, "log_pt", False),
+            pt_standardization=getattr(dm2, "pt_standardization", False),
+            ode_steps=args.ode_steps,
+        )
+        print(f"[lhco] jet {jet_idx} constituents: {consts.shape} ({gen_time:.1f}s)")
+        return consts, mask, dm2
+
+    consts, mask, dm2 = sample_jet(args.stage2_run, jet_idx=0)
     payload = {
         "jet_features": feats_phys,
         "constituents": consts,
         "mask": mask,
         "mjj_cond": cond_sr,
     }
+    if args.stage2_run_y:
+        # two-model mode (reference generate_data_lhco_xy.py): a separate
+        # model generates the subleading jet from ITS stage-1 features
+        consts_y, mask_y, _ = sample_jet(args.stage2_run_y, jet_idx=1)
+        payload["constituents_y"] = consts_y
+        payload["mask_y"] = mask_y
+
     if args.recluster:
         from particle_fm_tpu.eval.lhco_utils import cluster_data
 
@@ -117,6 +134,12 @@ def main():
         from particle_fm_tpu.data.utils import get_nonrel_consts
 
         nonrel = get_nonrel_consts(jets2[:, 0, :4], consts[..., [2, 0, 1]])
+        if args.stage2_run_y:
+            # whole dijet event: both jets' absolute constituents in one cloud
+            nonrel_y = get_nonrel_consts(
+                jets2[:, 1, :4], payload["constituents_y"][..., [2, 0, 1]]
+            )
+            nonrel = np.concatenate([nonrel, nonrel_y], axis=1)
         jets_cl, consts_cl, mask_cl = cluster_data(nonrel, num_particles=dm2.num_particles)
         payload["clustered_jets"] = jets_cl
         payload["clustered_constituents"] = consts_cl

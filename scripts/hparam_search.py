@@ -29,7 +29,9 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--experiment", required=True)
+    ap.add_argument("--config", default=None,
+                    help="yaml sweep spec (configs/hparams_search/*); CLI flags override it")
+    ap.add_argument("--experiment", default=None)
     ap.add_argument("--metric", default="val_loss")
     ap.add_argument("--mode", default="min", choices=["min", "max"])
     ap.add_argument("--n_trials", type=int, default=8)
@@ -56,6 +58,26 @@ def main():
         k, v = s.split("=", 1)
         lo, hi = v.split(":")
         log_space[k] = (float(lo), float(hi))
+
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            spec = yaml.safe_load(f) or {}
+        args.experiment = args.experiment or spec.get("experiment")
+        args.metric = spec.get("metric", args.metric)
+        args.mode = spec.get("mode", args.mode)
+        args.n_trials = spec.get("n_trials", args.n_trials)
+        args.prune = args.prune or bool(spec.get("prune", False))
+        for k, choices in (spec.get("space") or {}).items():
+            cat_space.setdefault(k, [str(c) for c in choices])
+        for k, (lo, hi) in (spec.get("space_log") or {}).items():
+            log_space.setdefault(k, (float(lo), float(hi)))
+        args.overrides = list(args.overrides) + [
+            f"{k}={v}" for k, v in (spec.get("overrides") or {}).items()
+        ]
+    if not args.experiment:
+        ap.error("--experiment (or a --config with one) is required")
 
     rs = np.random.RandomState(args.seed)
     pruner = None

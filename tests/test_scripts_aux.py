@@ -1,0 +1,63 @@
+"""Auxiliary scripts: calo preprocessing + notebook generator sync."""
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_preprocessing_calo_challenge(tmp_path):
+    out = tmp_path / "calo.npz"
+    scaler_out = tmp_path / "scaler.gz"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "preprocessing_calo_challenge.py"),
+         "--synthetic", "--max_showers", "120",
+         "--out", str(out), "--scaler_out", str(scaler_out)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    data = np.load(out, allow_pickle=True)
+    assert len(data["showers"]) == 120
+    assert data["energies"].shape == (120, 1)
+
+    from particle_fm_tpu.data.calo import CaloChallengeDataModule
+
+    import pickle
+    try:
+        import joblib
+        scaler = joblib.load(scaler_out)
+    except ImportError:
+        scaler = pickle.load(open(scaler_out, "rb"))
+    # the npz + scaler plug straight into the datamodule
+    dm = CaloChallengeDataModule(dataset_file=str(out), batch_size=16,
+                                 scaler=scaler, max_hits=128)
+    dm.setup()
+    x, m, c = next(iter(dm.train_batches(seed=0)))
+    assert np.isfinite(x).all()
+    # scaler roundtrip on raw hits
+    raw = data["showers"][0].astype(np.float64)
+    rt = scaler.inverse_transform(scaler.transform(raw))
+    np.testing.assert_allclose(rt, raw, atol=1e-6)
+
+
+def test_notebooks_valid_and_in_sync():
+    """notebooks/*.ipynb are valid nbformat-4 JSON and match the generator
+    (edit scripts/make_notebooks.py, not the .ipynb files)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import make_notebooks
+
+    paths = sorted(glob.glob(os.path.join(REPO, "notebooks", "*.ipynb")))
+    assert len(paths) == len(make_notebooks.NOTEBOOKS) == 5
+    for path in paths:
+        with open(path) as f:
+            on_disk = json.load(f)
+        assert on_disk["nbformat"] == 4 and on_disk["cells"]
+        generated = make_notebooks.NOTEBOOKS[os.path.basename(path)]
+        assert json.loads(json.dumps(generated)) == on_disk, (
+            f"{path} out of sync — rerun scripts/make_notebooks.py"
+        )
