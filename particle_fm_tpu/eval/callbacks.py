@@ -229,12 +229,15 @@ class JetNetEvalCallback:
         cond = getattr(dm, f"tensor_conditioning_{self.split}")
         return real, mask, cond
 
-    def __call__(self, trainer) -> Optional[dict]:
-        if not getattr(trainer, "testing", False):
-            if trainer.epoch == 0 and not self.log_epoch_zero:
-                return None
-            if not should_log(self.every_n_epochs, trainer.epoch):
-                return None
+    def _should_run(self, trainer) -> bool:
+        if getattr(trainer, "testing", False):
+            return True
+        if trainer.epoch == 0 and not self.log_epoch_zero:
+            return False
+        return should_log(self.every_n_epochs, trainer.epoch)
+
+    def _generate_vs_real(self, trainer):
+        """Shared generation block: returns (real, gen, n, gen_time)."""
         dm = trainer.datamodule
         real, mask, cond = self._arrays(dm)
         # reference semantics: negative num_jet_samples = |n| x the dataset
@@ -264,6 +267,12 @@ class JetNetEvalCallback:
             ode_solver=self.ode_solver,
             ode_steps=self.ode_steps,
         )
+        return real, gen, n, gen_time
+
+    def __call__(self, trainer) -> Optional[dict]:
+        if not self._should_run(trainer):
+            return None
+        real, gen, n, gen_time = self._generate_vs_real(trainer)
         w1 = calculate_all_wasserstein_metrics(
             real[:n],
             gen,
@@ -374,4 +383,66 @@ class FinalEvalCallback(JetNetEvalCallback):
 
         with open(os.path.join(out_dir, "final_eval_metrics.yml"), "w") as f:
             yaml.safe_dump({k: float(v) for k, v in metrics.items()}, f)
+        return metrics
+
+
+@dataclass
+class WholeEventEvalCallback(JetNetEvalCallback):
+    """Whole-event LHCO eval: generated event clouds are re-clustered with
+    the native anti-kt into the two leading jets, then compared per jet
+    (constituent-level W1M/W1P and jet-feature W1) plus W1(mjj) against
+    identically clustered real events.
+
+    Parity: callbacks/lhco_complex_data_eval.py:125-360. The reference
+    compares against its pre-clustered file on disk (a hard-coded cluster
+    path); here the held-out real events are clustered with the same in-repo
+    anti-kt, which is self-contained and estimator-consistent.
+    """
+
+    cluster_R: float = 1.0
+    cluster_num_particles: int = 279
+
+    def __call__(self, trainer) -> Optional[dict]:
+        if not self._should_run(trainer):
+            return None
+        from particle_fm_tpu.data.utils import get_mjj
+        from particle_fm_tpu.eval.lhco_utils import cluster_data
+        from particle_fm_tpu.eval.metrics import (
+            calculate_wasserstein_metrics_jets,
+            wasserstein_distance_batched,
+        )
+
+        real, gen, n, gen_time = self._generate_vs_real(trainer)
+        real = real[:n]
+
+        def cluster(events_ephipt):
+            # datamodule layout (eta, phi, pt) -> clusterer's (pt, eta, phi)
+            ev = np.asarray(events_ephipt)[..., [2, 0, 1]]
+            jets, consts, mask = cluster_data(
+                ev, num_particles=self.cluster_num_particles, R=self.cluster_R
+            )
+            return jets, consts
+
+        jets_g, consts_g = cluster(gen)
+        jets_r, consts_r = cluster(real)
+
+        metrics = {"generation_time": gen_time}
+        w1_kwargs = dict(self.w1_kwargs)
+        for j, name in ((0, "x"), (1, "y")):
+            w1 = calculate_all_wasserstein_metrics(
+                consts_r[:, j][..., [1, 2, 0]],  # back to (eta, phi, pt)
+                consts_g[:, j][..., [1, 2, 0]],
+                calculate_efps=self.calculate_efps,
+                **w1_kwargs,
+            )
+            metrics.update({f"{k}_{name}": v for k, v in w1.items()})
+            wj = calculate_wasserstein_metrics_jets(jets_r[:, j], jets_g[:, j], **w1_kwargs)
+            metrics.update({f"{k}_{name}": v for k, v in wj.items()})
+
+        mjj_r = get_mjj(jets_r[:, 0], jets_r[:, 1])
+        mjj_g = get_mjj(jets_g[:, 0], jets_g[:, 1])
+        ok_r, ok_g = np.isfinite(mjj_r), np.isfinite(mjj_g)
+        if ok_r.any() and ok_g.any():
+            mean, std = wasserstein_distance_batched(mjj_r[ok_r], mjj_g[ok_g], **w1_kwargs)
+            metrics["w1_mjj_mean"], metrics["w1_mjj_std"] = mean, std
         return metrics

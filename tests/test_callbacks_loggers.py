@@ -84,6 +84,38 @@ def test_logger_service_backends_skip_gracefully(tmp_path):
     assert os.path.exists(tmp_path / "metrics.jsonl")
 
 
+def test_whole_event_eval_callback(tmp_path, mesh):
+    """Whole-event eval: train a tiny model on synthetic event clouds, then
+    the callback generates, anti-kt re-clusters (native), and reports
+    per-jet + mjj W1 metrics."""
+    import jax
+
+    from particle_fm_tpu.data.lhco import LHCOWholeEventDataModule
+    from particle_fm_tpu.eval.callbacks import WholeEventEvalCallback
+    from particle_fm_tpu.models.flow_matching import FlowMatchingModel
+    from particle_fm_tpu.parallel.train import make_optimizer
+    from particle_fm_tpu.training.trainer import Trainer
+
+    dm = LHCOWholeEventDataModule(num_particles=24, batch_size=64,
+                                  synthetic=True, synthetic_num_events=800)
+    dm.setup()
+    model = FlowMatchingModel(model="epic", features=3, num_particles=24,
+                              hidden_dim=16, latent=4, layers=1, frequencies=6,
+                              loss_type="CFM", global_cond_dim=1, local_cond_dim=1)
+    cb = WholeEventEvalCallback(every_n_epochs=1, log_epoch_zero=True,
+                                num_jet_samples=64, generation_batch_size=64,
+                                use_ema=False, ode_steps=6,
+                                cluster_num_particles=24,
+                                w1_kwargs=dict(num_eval_samples=64, num_batches=2))
+    trainer = Trainer(model=model, datamodule=dm,
+                      optimizer=make_optimizer(lr=1e-3), max_epochs=1,
+                      callbacks=[cb], verbose=False, mesh=mesh)
+    trainer.fit()
+    m = trainer.metrics_history[-1]
+    for key in ("w1m_mean_x", "w1m_mean_y", "w1pt_jet_mean_x", "w1_mjj_mean"):
+        assert key in m and np.isfinite(m[key]), (key, m.keys())
+
+
 def test_gen_challenge_contract():
     dm = GenChallengeDataModule(batch_size=64, synthetic=True)
     dm.setup()
