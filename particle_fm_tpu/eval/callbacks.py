@@ -222,6 +222,7 @@ class JetNetEvalCallback:
     on_test: bool = False  # also run inside trainer.test()
     seed: int = 9999  # fixed eval seed, parity with the reference
     log_epoch_zero: bool = False  # parity: jetnet_eval.yaml log_epoch_zero
+    per_type_w1: bool = False  # per-jet-type W1 breakdown (JetClass eval)
 
     def _arrays(self, dm):
         real = getattr(dm, f"tensor_{self.split}")
@@ -280,7 +281,35 @@ class JetNetEvalCallback:
             **self.w1_kwargs,
         )
         w1["generation_time"] = gen_time
+        if self.per_type_w1:
+            w1.update(self._per_type_w1(trainer.datamodule, real, gen, n))
         return w1
+
+    def _per_type_w1(self, dm, real, gen, n) -> dict:
+        """Per-jet-type W1M (reference jetclass_eval.py:214-420 per-type
+        breakdown) for datamodules exposing one-hot `labels_<split>` +
+        `used_jet_types` (JetClass)."""
+        labels = getattr(dm, f"labels_{self.split}", None)
+        names = getattr(dm, "used_jet_types", None)
+        if labels is None or len(labels) < n:
+            return {}
+        idx = np.argmax(labels[:n], axis=1)
+        names = names or [str(i) for i in range(labels.shape[1])]
+        out = {}
+        kw = dict(self.w1_kwargs)
+        for t, name in enumerate(names):
+            sel = idx == t
+            if sel.sum() < 8:
+                continue
+            kw["num_eval_samples"] = min(
+                kw.get("num_eval_samples", 10000), int(sel.sum())
+            )
+            w1 = calculate_all_wasserstein_metrics(
+                real[:n][sel], gen[sel], calculate_efps=False, **kw
+            )
+            out[f"w1m_mean_{name}"] = w1["w1m_mean"]
+            out[f"w1p_mean_{name}"] = w1["w1p_mean"]
+        return out
 
 
 @dataclass

@@ -116,6 +116,45 @@ def test_whole_event_eval_callback(tmp_path, mesh):
         assert key in m and np.isfinite(m[key]), (key, m.keys())
 
 
+def test_per_type_w1_breakdown(tmp_path, mesh):
+    """per_type_w1: the eval callback reports per-jet-type W1 when the
+    datamodule exposes one-hot labels (JetClass)."""
+    import jax
+
+    from particle_fm_tpu.data.jetclass import JetClassDataModule, synthetic_jetclass_file
+    from particle_fm_tpu.eval.callbacks import JetNetEvalCallback
+    from particle_fm_tpu.models.flow_matching import FlowMatchingModel
+    from particle_fm_tpu.parallel.train import make_optimizer
+    from particle_fm_tpu.training.trainer import Trainer
+
+    files = {}
+    for i, split in enumerate(["train", "val", "test"]):
+        path = str(tmp_path / f"{split}.h5")
+        synthetic_jetclass_file(path, num_jets=300, num_particles=12, num_types=2, seed=i)
+        files[split] = path
+    dm = JetClassDataModule(filename_dict=files, batch_size=64,
+                            used_jet_types=["QCD", "Hbb"],
+                            conditioning_jet_type=True)
+    dm.setup()
+    model = FlowMatchingModel(model="epic", features=3, num_particles=12,
+                              hidden_dim=16, latent=4, layers=1, frequencies=6,
+                              loss_type="CFM",
+                              global_cond_dim=dm.num_cond_features,
+                              local_cond_dim=dm.num_cond_features)
+    cb = JetNetEvalCallback(every_n_epochs=1, log_epoch_zero=True,
+                            num_jet_samples=128, generation_batch_size=64,
+                            use_ema=False, ode_steps=6, per_type_w1=True,
+                            w1_kwargs=dict(num_eval_samples=128, num_batches=2))
+    trainer = Trainer(model=model, datamodule=dm,
+                      optimizer=make_optimizer(lr=1e-3), max_epochs=1,
+                      callbacks=[cb], verbose=False, mesh=mesh)
+    trainer.fit()
+    m = trainer.metrics_history[-1]
+    assert "w1m_mean" in m
+    assert "w1m_mean_QCD" in m and "w1m_mean_Hbb" in m
+    assert np.isfinite(m["w1m_mean_QCD"]) and np.isfinite(m["w1p_mean_Hbb"])
+
+
 def test_gen_challenge_contract():
     dm = GenChallengeDataModule(batch_size=64, synthetic=True)
     dm.setup()
