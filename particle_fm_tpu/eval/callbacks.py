@@ -110,6 +110,35 @@ class CaloEvalCallback:
 
 
 @dataclass
+class DeviceStatsCallback:
+    """Log accelerator memory stats each epoch (bytes in use / peak / limit).
+
+    Parity: configs/callbacks/device_stats_monitor.yaml (Lightning
+    DeviceStatsMonitor). Uses the PJRT `memory_stats()` API where the
+    backend exposes it (TPU does; CPU returns nothing)."""
+
+    every_n_epochs: int = 1
+    on_test: bool = False
+
+    def __call__(self, trainer) -> Optional[dict]:
+        if trainer.epoch % self.every_n_epochs:
+            return None
+        out = {}
+        for d in jax.local_devices():
+            stats = getattr(d, "memory_stats", lambda: None)() or {}
+            if not stats:
+                continue
+            for key, name in (
+                ("bytes_in_use", "mem_bytes"),
+                ("peak_bytes_in_use", "mem_peak_bytes"),
+                ("bytes_limit", "mem_limit_bytes"),
+            ):
+                if key in stats:
+                    out[f"{name}_d{d.id}"] = float(stats[key])
+        return out or None
+
+
+@dataclass
 class ClassifierEvalCallback:
     """Accuracy/AUROC on the test split for classifier models (the
     gen-vs-real 'classifier test'; parity: epic_classifier.py:66-83)."""

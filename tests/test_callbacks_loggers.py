@@ -155,6 +155,17 @@ def test_per_type_w1_breakdown(tmp_path, mesh):
     assert np.isfinite(m["w1m_mean_QCD"]) and np.isfinite(m["w1p_mean_Hbb"])
 
 
+def test_device_stats_callback_graceful():
+    from particle_fm_tpu.eval.callbacks import DeviceStatsCallback
+
+    class T:
+        epoch = 0
+
+    out = DeviceStatsCallback()(T())
+    # CPU backends expose no memory_stats -> None; TPU returns a dict
+    assert out is None or all(np.isfinite(v) for v in out.values())
+
+
 def test_gen_challenge_contract():
     dm = GenChallengeDataModule(batch_size=64, synthetic=True)
     dm.setup()
