@@ -315,6 +315,12 @@ class LHCOWholeEventDataModule(ArrayDataModule):
         with h5py.File(jet_path, "r") as f:
             jet_data = np.asarray(f["jet_data"])
         mjj = get_mjj(jet_data[:, 0], jet_data[:, 1])
+        if len(mjj) != len(particle_data):
+            raise ValueError(
+                f"mjj from {jet_path} has {len(mjj)} events but the raw file "
+                f"has {len(particle_data)} background events — the processed "
+                "dijet file must cover the same events in the same order"
+            )
         return particle_data, mask, mjj
 
     def setup(self) -> None:
@@ -333,11 +339,13 @@ class LHCOWholeEventDataModule(ArrayDataModule):
         def prep(pd_, mk):
             return np.concatenate([pd_[:, :, [1, 2, 0]], mk], axis=-1)
 
-        x, m, _, _ = mask_data(
-            prep(pd_, mk), None, self.num_particles, self.variable_jet_sizes
+        # cond rides through mask_data so the fixed-size filter
+        # (variable_jet_sizes=False) keeps events and mjj aligned
+        x, m, _, cond = mask_data(
+            prep(pd_, mk), cond, self.num_particles, self.variable_jet_sizes
         )
-        x_sr, m_sr, _, _ = mask_data(
-            prep(pd_sr, mk_sr), None, self.num_particles, self.variable_jet_sizes
+        x_sr, m_sr, _, cond_sr = mask_data(
+            prep(pd_sr, mk_sr), cond_sr, self.num_particles, self.variable_jet_sizes
         )
 
         x_tr, x_va, x_te = _split3(x, self.val_fraction, self.test_fraction)

@@ -117,11 +117,13 @@ class DeviceStatsCallback:
     DeviceStatsMonitor). Uses the PJRT `memory_stats()` API where the
     backend exposes it (TPU does; CPU returns nothing)."""
 
-    every_n_epochs: int = 1
+    every_n_epochs: int | str = 1
     on_test: bool = False
 
     def __call__(self, trainer) -> Optional[dict]:
-        if trainer.epoch % self.every_n_epochs:
+        if not getattr(trainer, "testing", False) and not should_log(
+            self.every_n_epochs, trainer.epoch
+        ):
             return None
         out = {}
         for d in jax.local_devices():
@@ -325,16 +327,12 @@ class JetNetEvalCallback:
         idx = np.argmax(labels[:n], axis=1)
         names = names or [str(i) for i in range(labels.shape[1])]
         out = {}
-        kw = dict(self.w1_kwargs)
         for t, name in enumerate(names):
             sel = idx == t
             if sel.sum() < 8:
                 continue
-            kw["num_eval_samples"] = min(
-                kw.get("num_eval_samples", 10000), int(sel.sum())
-            )
             w1 = calculate_all_wasserstein_metrics(
-                real[:n][sel], gen[sel], calculate_efps=False, **kw
+                real[:n][sel], gen[sel], calculate_efps=False, **self.w1_kwargs
             )
             out[f"w1m_mean_{name}"] = w1["w1m_mean"]
             out[f"w1p_mean_{name}"] = w1["w1p_mean"]

@@ -212,6 +212,10 @@ def fpd_infinite(
     min_samples = min(min_samples, max_samples // 2 if max_samples >= 2 else 1)
     min_samples = max(min_samples, real_features.shape[-1] + 2)  # cov needs N > d
     r_all, g_all = _standardize_pair(real_features, gen_features)
+    if min_samples > max_samples:
+        # too few samples for the subset protocol (the d+2 floor exceeds the
+        # available set): fall back to the plain full-set value
+        return _frechet_gaussian_distance(r_all, g_all), float("nan")
 
     rng = np.random.default_rng(seed)
     inv_n = np.linspace(1.0 / min_samples, 1.0 / max_samples, num_points)

@@ -77,7 +77,7 @@ def plot_data(
     plot_efps: bool = False,
     selected_particles: tuple = (1, 3, 10),
     suffix: str = "",
-) -> str | None:
+) -> "str | matplotlib.figure.Figure":
     """Master comparison grid: per-feature particle hists, jet features,
     multiplicity, selected-particle pT (parity: plotting.py:117-977)."""
     apply_mpl_styles()
@@ -126,7 +126,7 @@ def create_and_plot_data(real, gen, save_folder: str, plot_name: str = "plot", *
     return plot_data(real, gen, os.path.join(save_folder, f"{plot_name}.png"), **kwargs)
 
 
-def plot_substructure(hlvs_real: dict, hlvs_gen: dict, save_path: str | None = None) -> str | None:
+def plot_substructure(hlvs_real: dict, hlvs_gen: dict, save_path: str | None = None) -> "str | matplotlib.figure.Figure":
     """tau21 / tau32 / d2 comparison (parity: plotting.py:1422-1471)."""
     apply_mpl_styles()
     keys = ["tau21", "tau32", "d2", "jet_mass"]
@@ -143,7 +143,7 @@ def plot_substructure(hlvs_real: dict, hlvs_gen: dict, save_path: str | None = N
 
 
 def plot_loss_curves(metrics_history: list[dict], save_path: str | None = None,
-                     keys: tuple = ("train_loss", "val_loss")) -> str | None:
+                     keys: tuple = ("train_loss", "val_loss")) -> "str | matplotlib.figure.Figure":
     """Loss curves from the trainer's metric history (parity: plotting.py:1127)."""
     apply_mpl_styles()
     fig, ax = plt.subplots(figsize=(7, 4.5))
@@ -164,7 +164,7 @@ def plot_loss_curves(metrics_history: list[dict], save_path: str | None = None,
 
 
 def plot_feature_ratios(real: np.ndarray, gen: np.ndarray, save_path: str | None = None,
-                        labels: list | None = None) -> str | None:
+                        labels: list | None = None) -> "str | matplotlib.figure.Figure":
     """Per-feature histograms with gen/real ratio panels
     (parity: plotting.py:1510-1569)."""
     apply_mpl_styles()

@@ -33,6 +33,7 @@ class EarlyStopping:
     mode: str = "min"
     patience: int = 100
     min_delta: float = 0.0
+    check_finite: bool = True  # stop when the monitor turns NaN/inf (Lightning default)
 
     best: float = field(default=float("nan"), init=False)
     wait: int = field(default=0, init=False)
@@ -42,6 +43,11 @@ class EarlyStopping:
         if self.monitor not in metrics:
             return {}
         value = float(metrics[self.monitor])
+        if not np.isfinite(value):
+            if self.check_finite:
+                trainer.should_stop = True
+                print(f"[early_stopping] {self.monitor} is not finite ({value}) — stopping")
+            return {}
         if not np.isfinite(self.best) or _is_better(
             value, self.best - self.min_delta if self.mode == "min" else self.best + self.min_delta,
             self.mode,

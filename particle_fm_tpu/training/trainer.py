@@ -145,6 +145,7 @@ class Trainer:
                 print(f"[trainer] resumed from {resume_from} at step {int(state.step)}")
         state = replicate(state, self.mesh)
         self.state = state
+        self.should_stop = False  # a fresh fit() clears any earlier stop request
         rng = jax.random.PRNGKey(self.seed + 1)
         dev_data = self._maybe_cache_train_data()
 

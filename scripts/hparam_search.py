@@ -64,10 +64,11 @@ def main():
 
         with open(args.config) as f:
             spec = yaml.safe_load(f) or {}
+        # explicit CLI flags win over the spec; spec fills in the defaults
         args.experiment = args.experiment or spec.get("experiment")
-        args.metric = spec.get("metric", args.metric)
-        args.mode = spec.get("mode", args.mode)
-        args.n_trials = spec.get("n_trials", args.n_trials)
+        for name in ("metric", "mode", "n_trials"):
+            if getattr(args, name) == ap.get_default(name) and name in spec:
+                setattr(args, name, spec[name])
         args.prune = args.prune or bool(spec.get("prune", False))
         for k, choices in (spec.get("space") or {}).items():
             cat_space.setdefault(k, [str(c) for c in choices])
@@ -120,8 +121,9 @@ def main():
             print(f"[hparam] trial {trial} failed: {e}")
             value = float("nan")
         pruned = bool(prune_cb.pruned) if prune_cb is not None else False
-        if pruner is not None and prune_cb is not None and not pruned:
-            # only COMPLETED trials inform the median (Optuna semantics)
+        if pruner is not None and prune_cb is not None and not pruned and np.isfinite(value):
+            # only COMPLETED (non-pruned, non-failed) trials inform the
+            # median (Optuna semantics)
             pruner.complete(prune_cb.history)
         results.append(
             {"trial": trial, "params": picks, args.metric: value, "pruned": pruned}

@@ -79,6 +79,20 @@ def test_lhco_whole_event():
     assert dm.tensor_train.shape == dm.train.x.shape
 
 
+def test_lhco_whole_event_fixed_size_keeps_cond_aligned():
+    """variable_jet_sizes=False drops events via mask_data; mjj conditioning
+    must shrink with them (was: cond kept all events, silently misaligned)."""
+    dm = LHCOWholeEventDataModule(num_particles=16, batch_size=8,
+                                  variable_jet_sizes=False,
+                                  synthetic=True, synthetic_num_events=1500)
+    dm.setup()
+    n = len(dm.train.x) + len(dm.val.x) + len(dm.test.x)
+    nc = (len(dm.tensor_conditioning_train) + len(dm.tensor_conditioning_val)
+          + len(dm.tensor_conditioning_test))
+    assert n == nc
+    assert len(dm.train.x) == len(dm.train.cond)
+
+
 def test_jetclass_datamodule(tmp_path):
     files = {}
     for i, split in enumerate(["train", "val", "test"]):

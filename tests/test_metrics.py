@@ -152,6 +152,11 @@ def test_fpd_infinite_extrapolation():
     v, e = fpd_infinite(real[:40], same[:40], min_samples=30, max_samples=40,
                         num_batches=2, num_points=2)
     assert np.isfinite(v)
+    # tiny eval set where the cov floor (d+2) exceeds the sample count:
+    # full-set fallback, no crash (was: rng.choice replace=False ValueError)
+    wide = rs.randn(30, 36)
+    v2, e2 = fpd_infinite(wide, wide + 0.1)
+    assert np.isfinite(v2) and np.isnan(e2)
 
 
 def test_generate_data_driver():

@@ -41,6 +41,52 @@ def test_early_stopping_improvement_resets():
     es(tr)
 
 
+def test_early_stopping_nan_stops():
+    """A non-finite monitor stops immediately (check_finite, Lightning
+    default) instead of resetting patience forever."""
+    tr = FakeTrainer()
+    es = EarlyStopping(monitor="val_loss", patience=100, mode="min")
+    tr.last_metrics = {"val_loss": float("nan")}
+    es(tr)
+    assert tr.should_stop
+    # opt-out keeps training but never counts NaN as improvement
+    tr2 = FakeTrainer()
+    es2 = EarlyStopping(monitor="val_loss", patience=2, check_finite=False)
+    for loss in [1.0, float("nan"), float("nan")]:
+        tr2.last_metrics = {"val_loss": loss}
+        es2(tr2)
+    assert not tr2.should_stop and es2.best == 1.0
+
+
+def test_refit_clears_should_stop(tmp_path):
+    """fit() resets should_stop so a stopped trainer can be re-fit."""
+    from particle_fm_tpu.data.jetnet import JetNetDataModule
+    from particle_fm_tpu.models.flow_matching import FlowMatchingModel
+    from particle_fm_tpu.parallel.train import make_optimizer
+    from particle_fm_tpu.training.trainer import Trainer
+
+    dm = JetNetDataModule(jet_type=("t",), num_particles=8, batch_size=64,
+                          synthetic=True, synthetic_num_jets=256)
+    dm.setup()
+    model = FlowMatchingModel(model="epic", features=3, num_particles=8,
+                              hidden_dim=16, latent=4, layers=1, frequencies=6,
+                              loss_type="CFM",
+                              global_cond_dim=dm.num_cond_features,
+                              local_cond_dim=dm.num_cond_features)
+
+    def stop_now(trainer):
+        trainer.should_stop = True
+        return {}
+
+    trainer = Trainer(model=model, datamodule=dm, optimizer=make_optimizer(lr=1e-3),
+                      max_epochs=3, callbacks=[stop_now], verbose=False)
+    trainer.fit()
+    assert trainer.epoch == 0
+    trainer.callbacks = []
+    trainer.fit()  # second fit must not exit immediately
+    assert trainer.epoch == 2
+
+
 def test_median_pruner_semantics():
     pruner = MedianPruner(mode="min", n_startup_trials=2, n_warmup_epochs=1)
     # no pruning before n_startup_trials completed
