@@ -97,7 +97,7 @@ class CheckpointManager:
 
     def restore(self, path: str, target):
         """Restore into the structure of `target` (a concrete TrainState)."""
-        return self._ckptr.restore(path, target=target)
+        return self._ckptr.restore(os.path.abspath(path), target=target)  # orbax requires absolute
 
 
 def restore_state(path: str, target):
