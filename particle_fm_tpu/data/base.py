@@ -68,6 +68,10 @@ class ArrayDataModule:
         if rng is not None:
             rng.shuffle(idx)
         stop = n - (n % self.batch_size) if drop_last else n
+        if stop == 0 and n > 0:
+            # split smaller than batch_size: one short batch beats silently
+            # yielding nothing (which turns the epoch loss into NaN)
+            stop = n
         for s in range(0, stop, self.batch_size):
             sel = idx[s : s + self.batch_size]
             cond = split.cond[sel] if split.cond is not None else None

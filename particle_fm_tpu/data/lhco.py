@@ -505,6 +505,8 @@ class LHCOJetFeatureDataModule(ArrayDataModule):
         if rng is not None:
             rng.shuffle(idx)
         stop = n - (n % self.batch_size) if drop_last else n
+        if stop == 0 and n > 0:
+            stop = n  # split smaller than batch_size: one short batch (see base)
         for s in range(0, stop, self.batch_size):
             sel = idx[s : s + self.batch_size]
             cond = split.cond[sel] if split.cond is not None else None

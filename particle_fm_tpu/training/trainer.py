@@ -231,6 +231,11 @@ class Trainer:
         x, mask, cond = dev_data
         n = x.shape[0]
         n_use = n - (n % bs)
+        if n_use == 0 and n > 0:
+            # split smaller than batch_size: one short batch beats silently
+            # yielding nothing (NaN epoch loss); round down to the mesh size
+            bs = max(n - (n % self.mesh.shape["data"]), self.mesh.shape["data"])
+            n_use = min(bs, n)
         perm = np.random.default_rng(self.seed + epoch).permutation(n)[:n_use]
         perm_dev = shard_batch((jnp.asarray(perm),), self.mesh)[0]
         xs = jnp.take(x, perm_dev, axis=0)

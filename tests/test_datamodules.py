@@ -93,6 +93,21 @@ def test_lhco_whole_event_fixed_size_keeps_cond_aligned():
     assert len(dm.train.x) == len(dm.train.cond)
 
 
+def test_small_split_yields_one_short_batch():
+    """A train split smaller than batch_size must yield one short batch,
+    not zero batches (was: silent NaN epoch loss)."""
+    dm = LHCOJetFeatureDataModule(batch_size=4096, set_data=True,
+                                  synthetic=True, synthetic_num_events=800)
+    dm.setup()
+    batches = list(dm.train_batches(seed=0))
+    assert len(batches) == 1
+    assert len(batches[0][0]) == len(dm.train.x)
+    dm2 = LHCODataModule(jet_type="x", num_particles=16, batch_size=4096,
+                         synthetic=True, synthetic_num_events=500)
+    dm2.setup()
+    assert len(list(dm2.train_batches(seed=0))) == 1
+
+
 def test_jetclass_datamodule(tmp_path):
     files = {}
     for i, split in enumerate(["train", "val", "test"]):
