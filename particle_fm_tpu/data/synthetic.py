@@ -29,12 +29,16 @@ def synthetic_jetnet(
     for jt in jet_types:
         label = JET_TYPES[jt]
         n = per_type
-        # multiplicity: most jets near full, a tail of sparse ones
+        # multiplicity: most jets near full, a tail of sparse ones; a real
+        # JetNet file is truncated at num_particles so a sizable fraction sits
+        # exactly at the cap — mirror that so fixed-size mode
+        # (variable_jet_sizes=False, which keeps only full jets) has data
         mult = np.clip(
             (num_particles * rs.beta(5.0 if jt in "twz" else 3.0, 1.5, size=n)).astype(int),
             3,
             num_particles,
         )
+        mult = np.where(rs.rand(n) < 0.3, num_particles, mult)
         ar = np.arange(num_particles)[None, :]
         mask = (ar < mult[:, None]).astype(np.float32)
 

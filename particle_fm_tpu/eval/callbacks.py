@@ -48,7 +48,7 @@ class CaloEvalCallback:
     ode_steps: int = 100
     split: str = "test"
     on_test: bool = False
-    w1_num_batches: int = 5
+    w1_num_batches: int = 40
     seed: int = 9999
     log_epoch_zero: bool = False
     feature_names: tuple = ("E", "z", "alpha", "r")
@@ -179,20 +179,26 @@ class ClassifierEvalCallback:
 
 @dataclass
 class FlatEvalCallback:
-    """Eval for flat-vector models (LHCO stage-1 jet features): per-feature
-    W1 between generated and held-out vectors. Parity skeleton:
-    callbacks/lhco/lhco_jet_features_eval.py."""
+    """Eval for flat-vector models (LHCO stage-1 jet features, GenChallenge):
+    per-feature W1 between generated and held-out vectors, each logged
+    separately plus the aggregate mean (parity:
+    callbacks/lhco/lhco_jet_features_eval.py logs each jet-feature W1)."""
 
     every_n_epochs: int | str = 10
     num_samples: int = 10000
     generation_batch_size: int = 1024
-    w1_num_batches: int = 5
+    w1_num_batches: int = 40
     use_ema: bool = True
     ode_steps: int = 100
     split: str = "test"
     on_test: bool = False
     seed: int = 9999
     log_epoch_zero: bool = False
+    log_times: bool = True
+    make_plots: bool = False
+    plot_cond: bool = False  # prepend de-standardized cond columns to the plot
+    feature_labels: Optional[tuple] = None
+    metric_prefix: str = ""  # e.g. "sr_" for signal-region twins
 
     def __call__(self, trainer) -> Optional[dict]:
         if not getattr(trainer, "testing", False):
@@ -200,6 +206,8 @@ class FlatEvalCallback:
                 return None
             if not should_log(self.every_n_epochs, trainer.epoch):
                 return None
+        import time
+
         import jax as _jax
         import numpy as _np
 
@@ -213,6 +221,7 @@ class FlatEvalCallback:
         variables = _jax.device_get(trainer.state.variables(ema=self.use_ema))
         chunks = []
         rng = _jax.random.PRNGKey(self.seed)
+        t0 = None  # start the clock after the first (compile-bearing) batch
         for lo in range(0, n, self.generation_batch_size):
             hi = min(lo + self.generation_batch_size, n)
             rng, sub = _jax.random.split(rng)
@@ -221,20 +230,75 @@ class FlatEvalCallback:
                 variables, sub, n_samples=hi - lo, cond=c, ode_steps=self.ode_steps
             )
             chunks.append(_np.asarray(out))
+            if t0 is None:
+                t0 = time.perf_counter()
+        gen_time = (time.perf_counter() - t0) if t0 is not None else 0.0
         gen = _np.concatenate(chunks, axis=0)
         if dm.means is not None:
             gen = inverse_normalize_tensor(
                 gen, dm.means, dm.stds, getattr(dm, "normalize_sigma", 5)
             )
         n_eval = min(n, len(real))
-        w1s = [
-            wasserstein_distance_batched(
+        labels = self.feature_labels or [f"feature_{f}" for f in range(real.shape[-1])]
+        p = self.metric_prefix
+        metrics, w1s = {}, []
+        for f in range(real.shape[-1]):
+            mean, std = wasserstein_distance_batched(
                 real[:n, f], gen[:, f], num_eval_samples=min(n_eval, 5000),
                 num_batches=self.w1_num_batches,
-            )[0]
-            for f in range(real.shape[-1])
-        ]
-        return {"w1_features_mean": float(np.mean(w1s))}
+            )
+            metrics[f"{p}w1_{labels[f]}_mean"] = mean
+            metrics[f"{p}w1_{labels[f]}_std"] = std
+            w1s.append(mean)
+        metrics[f"{p}w1_features_mean"] = float(np.mean(w1s))
+        if self.log_times:
+            metrics[f"{p}generation_time"] = gen_time
+        if self.make_plots:
+            import os
+
+            from particle_fm_tpu.eval.plotting import plot_feature_ratios
+
+            real_p, gen_p, lab_p = real[:n], gen, list(labels)
+            if self.plot_cond and cond is not None:
+                cond_true = _np.asarray(cond[:n])
+                if getattr(dm, "cond_means", None) is not None:
+                    cond_true = inverse_normalize_tensor(
+                        cond_true, dm.cond_means, dm.cond_stds,
+                        getattr(dm, "normalize_sigma", 5),
+                    )
+                # reference gen_challenge_eval.py:265-266 concatenates
+                # [cond | features] so panel 0 is the conditioning variable
+                real_p = _np.concatenate([cond_true, real_p], axis=1)
+                gen_p = _np.concatenate([cond_true, gen_p], axis=1)
+                lab_p = [f"cond_{i}" for i in range(cond_true.shape[1])] + lab_p
+            out_dir = os.path.join(trainer.log_dir or ".", "callback_images")
+            plot_feature_ratios(
+                real_p, gen_p,
+                os.path.join(out_dir, f"{p}features_epoch{trainer.epoch}.png"),
+                labels=lab_p,
+            )
+        return metrics
+
+
+@dataclass
+class GenChallengeEvalCallback(FlatEvalCallback):
+    """GenChallenge (anomaly-detection challenge 2023) in-training eval:
+    flat dijet features generated conditioned on mjj, compared to the
+    held-out sideband split — and, via split='<split>_sr' +
+    metric_prefix='sr_', to the signal-region twin (interpolation into the
+    mjj window the model never trained on).
+
+    Parity: callbacks/gen_challenge/gen_challenge_eval.py:45-348 (sideband)
+    and gen_challenge_eval_sr.py (SR twin): same 5-panel histogram/ratio
+    figure with the cond (mjj) panel first, generation-time logging, fixed
+    seed, EMA weights. The reference only *plots*; the per-feature W1s
+    logged here are a superset (its w1m/w1p logs are placeholder constants,
+    gen_challenge_eval.py:121-122)."""
+
+    make_plots: bool = True
+    plot_cond: bool = True
+    split: str = "val"
+    feature_labels: Optional[tuple] = ("mj1", "delta_mj", "tau41_j1", "tau41_j2")
 
 
 @dataclass
@@ -244,7 +308,7 @@ class JetNetEvalCallback:
     every_n_epochs: int | str = 10
     num_jet_samples: int = 10000
     generation_batch_size: int = 1024
-    w1_kwargs: dict = field(default_factory=lambda: dict(num_batches=5, num_eval_samples=10000))
+    w1_kwargs: dict = field(default_factory=lambda: dict(num_batches=40, num_eval_samples=10000))
     calculate_efps: bool = False
     use_ema: bool = True
     ode_solver: str = "midpoint"
@@ -404,7 +468,7 @@ class FinalEvalCallback(JetNetEvalCallback):
             n_eval = min(len(gen), 10_000)
             for key in ("tau21", "tau32", "d2"):
                 mean, std = wasserstein_distance_batched(
-                    hlvs_real[key], hlvs_gen[key], num_eval_samples=n_eval, num_batches=5
+                    hlvs_real[key], hlvs_gen[key], num_eval_samples=n_eval, num_batches=40
                 )
                 metrics[f"w1_{key}_mean"] = mean
                 metrics[f"w1_{key}_std"] = std

@@ -55,7 +55,7 @@ def calculate_wasserstein_metrics_jets(
     return out
 
 
-def w1m(jets1, jets2, num_eval_samples=50_000, num_batches=5, rng=None):
+def w1m(jets1, jets2, num_eval_samples=50_000, num_batches=40, rng=None):
     """W1 between jet-mass distributions (jetnet.evaluation.w1m equivalent)."""
     m1 = jet_masses_from_rel(np.asarray(jets1))
     m2 = jet_masses_from_rel(np.asarray(jets2))
@@ -77,7 +77,7 @@ def w1p(
     mask1=None,
     mask2=None,
     num_eval_samples=50_000,
-    num_batches=5,
+    num_batches=40,
     rng=None,
 ):
     """Per-feature particle W1 averaged over bootstrap batches.
@@ -102,7 +102,7 @@ def w1p(
     return w1s.mean(axis=0), w1s.std(axis=0)
 
 
-def w1efp(jets1, jets2, num_eval_samples=50_000, num_batches=5, rng=None, efp_jobs=None):
+def w1efp(jets1, jets2, num_eval_samples=50_000, num_batches=40, rng=None, efp_jobs=None):
     """W1 on energy-flow polynomials (n==4, d==4), per-EFP bootstrap."""
     rng = rng or _rng
     e1 = efps(np.asarray(jets1))
@@ -123,7 +123,7 @@ def calculate_all_wasserstein_metrics(
     mask1=None,
     mask2=None,
     num_eval_samples: int = 50_000,
-    num_batches: int = 5,
+    num_batches: int = 40,
     calculate_efps: bool = True,
     use_masks: bool = False,
 ):

@@ -71,6 +71,49 @@ def test_every_experiment_composes_and_instantiates(exp):
     assert isinstance(cbs, dict)
 
 
+@pytest.mark.parametrize(
+    "exp,extra",
+    [
+        # one representative per newly-added family (test_sweeps.py analogue:
+        # a real fit on tiny synthetic shapes, not just instantiation)
+        ("jetnet/diffusion_alljets150_cond", ["model.global_cond_dim=7", "model.local_cond_dim=7"]),
+        ("jetnet/fm_mdma", ["model.net_config.latent=4", "model.net_config.hidden_dim=16",
+                            "model.net_config.layers=1", "model.net_config.num_heads=2"]),
+        # variable_jet_sizes=true here: the experiment's fixed-size mode keeps
+        # only full-multiplicity jets (covered by test_data.py::mask_data),
+        # which a 256-jet synthetic set at num_particles=8/30 can't supply
+        ("jetnet/fm_transformer", ["model.net_config.te_config.model_dim=16",
+                                   "model.net_config.te_config.num_layers=1",
+                                   "data.variable_jet_sizes=true"]),
+        ("jetnet/fm_tops30", []),
+    ],
+)
+def test_experiment_sweep_train_smoke(exp, extra, tmp_path):
+    """Fit one tiny epoch for each new experiment family end-to-end."""
+    from particle_fm_tpu.train import main
+
+    metrics = main(
+        [
+            f"experiment={exp}",
+            "data.synthetic=true",
+            "data.synthetic_num_jets=256",
+            "data.batch_size=64",
+            "data.num_particles=8",
+            "model.num_particles=8",
+            "model.hidden_dim=16",
+            "model.latent=4",
+            "model.layers=1",
+            "trainer=smoke",
+            "trainer.max_epochs=1",
+            "callbacks=none",
+            "test=false",
+            f"output_dir={tmp_path}/run",
+        ]
+        + extra
+    )
+    assert np.isfinite(metrics["val_loss"])
+
+
 def test_instantiate_partial():
     cfg = {"_target_": "operator.add", "_partial_": True}
     fn = instantiate(cfg)
@@ -142,3 +185,43 @@ def test_train_cli_lhco_jet_features(tmp_path):
     )
     assert "val_loss" in metrics and np.isfinite(metrics["val_loss"])
     assert "w1_features_mean" in metrics and np.isfinite(metrics["w1_features_mean"])
+
+
+def test_train_cli_gen_challenge(tmp_path):
+    """CLI e2e for GenChallenge: sideband + SR-twin eval callbacks both log
+    per-feature W1 (parity: gen_challenge_eval.py + gen_challenge_eval_sr.py)."""
+    from particle_fm_tpu.train import main
+
+    metrics = main(
+        [
+            "experiment=gen_challenge/gen_challenge",
+            "data.synthetic=true",
+            "data.synthetic_num_events=1500",
+            "data.batch_size=64",
+            "trainer=smoke",
+            "trainer.max_epochs=2",
+            "trainer.save_last_every_n_epoch=1",
+            "callbacks.gen_challenge_eval.every_n_epochs=1",
+            "callbacks.gen_challenge_eval.num_samples=128",
+            "callbacks.gen_challenge_eval.generation_batch_size=64",
+            "callbacks.gen_challenge_eval.ode_steps=4",
+            "callbacks.gen_challenge_eval.w1_num_batches=2",
+            "callbacks.gen_challenge_eval_sr.every_n_epochs=1",
+            "callbacks.gen_challenge_eval_sr.num_samples=128",
+            "callbacks.gen_challenge_eval_sr.generation_batch_size=64",
+            "callbacks.gen_challenge_eval_sr.ode_steps=4",
+            "callbacks.gen_challenge_eval_sr.w1_num_batches=2",
+            "test=false",
+            f"output_dir={tmp_path}/run",
+        ]
+    )
+    assert "val_loss" in metrics and np.isfinite(metrics["val_loss"])
+    # sideband per-feature W1s + the SR twin (metric_prefix="sr_")
+    assert np.isfinite(metrics["w1_mj1_mean"])
+    assert np.isfinite(metrics["w1_features_mean"])
+    assert np.isfinite(metrics["sr_w1_mj1_mean"])
+    # the 5-panel cond+features ratio plot was written
+    import glob as g
+
+    run_dirs = g.glob(f"{tmp_path}/run/*")
+    assert g.glob(os.path.join(run_dirs[0], "callback_images", "*features_epoch*.png"))
