@@ -171,6 +171,10 @@ class ClassifierEvalCallback:
             labels.append(_np.asarray(cond).reshape(-1))
         probs = _np.concatenate(probs)
         labels = _np.concatenate(labels)
+        if probs.ndim > 1 and probs.shape[-1] == 2:
+            # two-class softmax (reference jetclass classifiers use CE over 2
+            # classes): P(class 1) is the binary score
+            return binary_metrics(probs[:, 1], labels)
         if probs.ndim > 1:  # multiclass: accuracy only
             acc = float((probs.argmax(-1) == labels).mean())
             return {"accuracy": acc}

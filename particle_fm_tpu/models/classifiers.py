@@ -83,6 +83,17 @@ class SetClassifierModel:
             self.module = TransformerClassifierNet(
                 n_classes=max(self.n_classes, 1), dtype=self.dtype, **dict(self.net_config)
             )
+        elif self.arch == "particlenet":
+            from particle_fm_tpu.nets.particlenet import ParticleNetClassifierNet
+
+            cfg = dict(self.net_config)
+            point_indices = cfg.pop("point_indices", (0, 1))
+            self.module = ParticleNetClassifierNet(
+                n_classes=max(self.n_classes, 1),
+                point_indices=tuple(point_indices),
+                net_config=cfg,
+                dtype=self.dtype,
+            )
         else:
             raise ValueError(f"unknown classifier arch {self.arch}")
 
@@ -91,11 +102,29 @@ class SetClassifierModel:
         mask = jnp.ones((batch_size, self.num_particles, 1))
         return dict(self.module.init(rng, x, mask=mask))
 
+    def reinit_head(self, variables: dict, rng: jax.Array) -> dict:
+        """Reinitialise the classification head, keeping the trunk — the
+        fine-tune-from-pretrained hook (reference
+        jetclass_classifiers.py:250-263 reinitialise_fc)."""
+        fresh = self.init(rng)["params"]
+        params = dict(variables["params"])
+        head_keys = [k for k in params if k.startswith("head") or k.startswith("fc")]
+        if not head_keys and "net" in params:  # EPiC: final dense inside net
+            head_keys = [k for k in params if "out" in k.lower()]
+        for k in head_keys:
+            params[k] = fresh[k]
+        out = dict(variables)
+        out["params"] = params
+        return out
+
     def logits(self, variables, x, mask=None):
         return self.module.apply(variables, x, mask=mask)
 
     def loss(self, variables, rng, x, mask=None, cond=None, train: bool = False):
-        logits = self.module.apply(variables, x, mask=mask)
+        logits = self.module.apply(
+            variables, x, mask=mask, deterministic=not train,
+            rngs={"dropout": rng} if train else None,
+        )
         labels = cond
         if self.n_classes == 1:
             labels = labels.reshape(logits.shape).astype(logits.dtype)

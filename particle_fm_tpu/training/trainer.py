@@ -126,9 +126,14 @@ class Trainer:
 
     # ---------------------------------------------------------------- fit
     def fit(
-        self, resume_from: str | None = None, load_weights_from: str | None = None
+        self,
+        resume_from: str | None = None,
+        load_weights_from: str | None = None,
+        initial_state: TrainState | None = None,
     ) -> TrainState:
-        state = create_train_state(self.model, jax.random.PRNGKey(self.seed), self.optimizer)
+        state = initial_state or create_train_state(
+            self.model, jax.random.PRNGKey(self.seed), self.optimizer
+        )
         if load_weights_from:
             from particle_fm_tpu.training.checkpoint import (
                 load_weights_from as _load_weights,

@@ -26,7 +26,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--run_dir", required=True)
     ap.add_argument("--ckpt", default="best", choices=["best", "last"])
-    ap.add_argument("--arch", default="epic", choices=["epic", "transformer"])
+    ap.add_argument(
+        "--arch", default="epic", choices=["epic", "transformer", "particlenet", "hl"]
+    )
+    ap.add_argument(
+        "--data_file", default=None,
+        help="JetClass classifier h5 (from eval_ckpt.py --write_classifier_h5): "
+        "run the 10-class-era JetClass classifier test instead of generating",
+    )
+    ap.add_argument("--used_flavor", default="Tbqq")
+    ap.add_argument(
+        "--load_weights_from", default=None,
+        help="pretrained classifier checkpoint to fine-tune from "
+        "(the head is reinitialised, reference reinitialise_fc)",
+    )
     ap.add_argument("--n_samples", type=int, default=20000)
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--batch_size", type=int, default=256)
@@ -42,6 +55,34 @@ def main():
     from particle_fm_tpu.parallel.train import make_optimizer
     from particle_fm_tpu.training.trainer import Trainer
     from scripts.generate_data_lhco import load_run
+
+    if args.data_file:
+        # JetClass classifier test: mixed gen/sim h5 from eval_ckpt.py
+        # --write_classifier_h5 (reference jetclass_classifier experiments)
+        from particle_fm_tpu.data.jetclass_classifier import (
+            JetClassClassifierDataModule,
+        )
+
+        cdm = JetClassClassifierDataModule(
+            data_file=args.data_file,
+            batch_size=args.batch_size,
+            used_flavor=args.used_flavor,
+            kin_only=args.arch != "hl",
+            use_hl_features=args.arch == "hl",
+            set_energy_equal_to_p=True,
+        )
+        cdm.setup()
+        if args.arch == "hl":
+            from particle_fm_tpu.models.classifiers import HLClassifierModel
+
+            clf = HLClassifierModel(features=cdm.train.x.shape[-1])
+        else:
+            clf = SetClassifierModel(
+                arch=args.arch, n_classes=2,
+                num_particles=cdm.train.x.shape[1],
+                features=cdm.train.x.shape[-1],
+            )
+        return _fit_and_report(args, clf, cdm)
 
     cfg, dm, model, variables = load_run(args.run_dir, args.ckpt)
     real = dm.tensor_test
@@ -71,13 +112,39 @@ def main():
         arch=args.arch, n_classes=1,
         num_particles=real.shape[1], features=real.shape[-1],
     )
+    return _fit_and_report(args, clf, cdm)
+
+
+def _fit_and_report(args, clf, cdm):
+    import jax
+
+    from particle_fm_tpu.eval.callbacks import ClassifierEvalCallback
+    from particle_fm_tpu.parallel.train import make_optimizer
+    from particle_fm_tpu.training.trainer import Trainer
+
     trainer = Trainer(
         model=clf, datamodule=cdm, optimizer=make_optimizer(lr=1e-3),
         max_epochs=args.epochs,
         callbacks=[ClassifierEvalCallback(every_n_epochs=1)],
         verbose=True,
     )
-    trainer.fit()
+    load_from = getattr(args, "load_weights_from", None)
+    if load_from and hasattr(clf, "reinit_head"):
+        # fine-tune-from-pretrained: load trunk weights, redraw the head
+        # (reference jetclass_classifiers.py:250-263 load + reinitialise_fc)
+        from particle_fm_tpu.parallel.train import create_train_state
+        from particle_fm_tpu.training.checkpoint import load_weights_from
+
+        state = create_train_state(clf, jax.random.PRNGKey(0), trainer.optimizer)
+        state = load_weights_from(load_from, state)
+        fresh = clf.reinit_head({"params": state.params}, jax.random.PRNGKey(1))
+        state = state.replace(
+            params=fresh["params"],
+            ema_params=jax.tree_util.tree_map(lambda a: a.copy(), fresh["params"]),
+        )
+        trainer.fit(initial_state=state)
+    else:
+        trainer.fit()
     final = trainer.metrics_history[-1]
     out = {
         "classifier_auc": float(final["auroc"]),

@@ -66,6 +66,13 @@ def main():
     ap.add_argument("--ode_solver", default="midpoint")
     ap.add_argument("--batch_size", type=int, default=1024)
     ap.add_argument("--no-cache", action="store_true")
+    ap.add_argument(
+        "--write_classifier_h5",
+        action="store_true",
+        help="also write <run_dir>/classifier_data.h5 (+_substructure.h5) in "
+        "the schema JetClassClassifierDataModule consumes (reference "
+        "eval_ckpt.py output for the classifier test)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -136,6 +143,37 @@ def main():
             num_eval_samples=min(n_eval, 5000), num_batches=5,
         )
         metrics[f"rkld_feature_{f}"] = kld
+
+    if args.write_classifier_h5:
+        import h5py
+
+        names_part = [
+            n.decode() if isinstance(n, bytes) else str(n)
+            for n in (
+                getattr(dm, "names_particle_features", None)
+                or ["part_etarel", "part_dphi", "part_ptrel"]
+            )
+        ]
+        names_cond = [str(n) for n in (getattr(dm, "names_conditioning", None) or [])]
+        cond_sim = cond[:n][keep_real] if cond is not None else np.zeros((len(real_k), 0))
+        cond_g = cond_gen if cond_gen is not None else np.zeros((len(gen), 0))
+        clf_path = os.path.join(args.run_dir, "classifier_data.h5")
+        with h5py.File(clf_path, "w") as f:
+            for key, arr, names in (
+                ("part_data_gen", gen, names_part),
+                ("part_data_sim", real_k, names_part),
+                ("cond_data_gen", cond_g, names_cond),
+                ("cond_data_sim", cond_sim, names_cond),
+            ):
+                d = f.create_dataset(key, data=np.asarray(arr, np.float32))
+                d.attrs["names"] = names
+            f.create_dataset("part_mask_gen", data=np.asarray(mask_gen, np.float32))
+            f.create_dataset("part_mask_sim", data=np.asarray(mask_k, np.float32))
+        with h5py.File(clf_path.replace(".h5", "_substructure.h5"), "w") as f:
+            for key in ("tau1", "tau2", "tau3", "tau21", "tau32", "d2"):
+                f.create_dataset(f"{key}_gen", data=np.asarray(hl_g[key], np.float32))
+                f.create_dataset(f"{key}_sim", data=np.asarray(hl_r[key], np.float32))
+        print(f"[eval_ckpt] wrote {clf_path} (+_substructure.h5)")
 
     plot_data(real_k, gen, os.path.join(args.run_dir, "eval_ckpt_comparison.png"))
     out = os.path.join(args.run_dir, "eval_metrics.yaml")

@@ -187,6 +187,44 @@ def test_train_cli_lhco_jet_features(tmp_path):
     assert "w1_features_mean" in metrics and np.isfinite(metrics["w1_features_mean"])
 
 
+@pytest.mark.parametrize(
+    "exp,extra",
+    [
+        ("jetclass_classifier", ["model.num_particles=8",
+                                 "model.net_config.te_config.model_dim=16",
+                                 "model.net_config.te_config.num_layers=1"]),
+        ("jetclass_classifier_particlenet",
+         ["model.num_particles=8",
+          "model.net_config.conv_params=[[3,[8,8]]]",
+          "model.net_config.fc_params=[[8,0.0]]"]),
+        ("jetclass_classifier_hl", []),  # HL model is flat: no num_particles
+    ],
+)
+def test_train_cli_jetclass_classifier(exp, extra, tmp_path):
+    """CLI e2e for the JetClass classifier-test family (ParT-equivalent
+    transformer / ParticleNet / HL-MLP) on synthetic gen-vs-sim data."""
+    from particle_fm_tpu.train import main
+
+    metrics = main(
+        [
+            f"experiment={exp}",
+            "data.synthetic=true",
+            "data.synthetic_num_jets=400",
+            "data.synthetic_num_particles=8",
+            "data.used_flavor=QCD",  # synthetic mode fabricates 3 types
+            "data.batch_size=32",
+            "trainer=smoke",
+            "trainer.max_epochs=2",
+            "trainer.save_last_every_n_epoch=1",
+            f"output_dir={tmp_path}/run",
+        ]
+        + extra
+    )
+    assert np.isfinite(metrics["val_loss"])
+    assert "accuracy" in metrics and 0.0 <= metrics["accuracy"] <= 1.0
+    assert "auroc" in metrics
+
+
 def test_train_cli_gen_challenge(tmp_path):
     """CLI e2e for GenChallenge: sideband + SR-twin eval callbacks both log
     per-feature W1 (parity: gen_challenge_eval.py + gen_challenge_eval_sr.py)."""
