@@ -22,6 +22,36 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed(enable: bool | None = None) -> bool:
+    """Multi-host entry: call `jax.distributed.initialize()` when requested.
+
+    Enablement: explicit `enable=True` (config `trainer.multihost`) or env
+    `PFM_MULTIHOST=1`. In a single-process run (the default, and all tests)
+    this is a no-op returning False — behavior is unchanged. On a multi-host
+    TPU slice, every host runs the same program; after initialize(),
+    jax.devices() spans the slice, the same jitted SPMD step runs with
+    gradient all-reduce over ICI (and DCN across slices), and host-side work
+    (checkpoints, loggers) is gated on process_index()==0.
+
+    Reference behavior: Lightning DDP num_nodes (configs/trainer/ddp.yaml).
+    """
+    import os
+
+    if enable is None:
+        enable = os.environ.get("PFM_MULTIHOST", "0") == "1"
+    if not enable:
+        return False
+    if jax.process_count() > 1:  # already initialized (idempotent)
+        return True
+    jax.distributed.initialize()
+    return True
+
+
+def is_rank_zero() -> bool:
+    """True on the host that should write checkpoints/logs (rank 0)."""
+    return jax.process_index() == 0
+
+
 def make_mesh(
     data: int | None = None, model: int = 1, devices=None
 ) -> Mesh:

@@ -77,6 +77,12 @@ def train(cfg: dict, extra_callbacks: list | None = None) -> tuple[dict, dict]:
     # debug/profiling presets (configs/debug/*; reference debug configs)
     import jax
 
+    # multi-host slice entry (no-op in single-process runs; the TPU-native
+    # analogue of the reference's DDP num_nodes, configs/trainer/ddp.yaml)
+    from particle_fm_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed((cfg.get("trainer") or {}).get("multihost"))
+
     debug_cfg = cfg.get("debug") or {}
     profiler_dir = debug_cfg.get("profiler_dir")
     if debug_cfg.get("debug_nans"):
@@ -95,6 +101,7 @@ def train(cfg: dict, extra_callbacks: list | None = None) -> tuple[dict, dict]:
     model = instantiate(model_cfg)
 
     trainer_cfg = dict(cfg.get("trainer", {}))
+    trainer_cfg.pop("multihost", None)  # consumed by maybe_initialize_distributed
     lr = build_lr(optimizer_cfg, scheduler_cfg, max(dm.steps_per_epoch, 1))
     optimizer = make_optimizer(
         lr=lr,

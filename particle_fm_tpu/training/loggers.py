@@ -31,7 +31,9 @@ class JsonlLogger:
 
 
 class CSVLogger:
-    """Widens the header as new metric keys appear (rewrites the file)."""
+    """Appends rows in O(1); the file is rewritten only when a new metric key
+    widens the header (rare: typically once when eval callbacks first fire) —
+    a 10k-epoch run logs in O(n), not O(n^2)."""
 
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
@@ -43,12 +45,16 @@ class CSVLogger:
         row = {k: float(v) for k, v in metrics.items()}
         self._rows.append(row)
         new_keys = [k for k in row if k not in self._keys]
-        self._keys.extend(new_keys)
-        with open(self.path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self._keys)
-            w.writeheader()
-            for r in self._rows:
-                w.writerow(r)
+        if new_keys or not os.path.exists(self.path):
+            self._keys.extend(new_keys)
+            with open(self.path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._keys)
+                w.writeheader()
+                for r in self._rows:
+                    w.writerow(r)
+            return
+        with open(self.path, "a", newline="") as f:
+            csv.DictWriter(f, fieldnames=self._keys).writerow(row)
 
     def close(self) -> None:
         pass

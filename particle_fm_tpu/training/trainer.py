@@ -72,6 +72,15 @@ class Trainer:
     should_stop: bool = False
 
     def __post_init__(self):
+        # multi-host: only rank 0 writes checkpoints/logs/stdout (the jitted
+        # SPMD step itself runs identically on every process)
+        from particle_fm_tpu.parallel.mesh import is_rank_zero
+
+        self._rank0 = is_rank_zero()
+        if not self._rank0:
+            self.ckpt_dir = None
+            self.log_dir = None
+            self.verbose = False
         if self.mesh is None:
             self.mesh = make_mesh()
         self.train_step = make_train_step(

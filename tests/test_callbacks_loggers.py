@@ -68,6 +68,32 @@ def test_logger_backends(tmp_path):
     assert "a" in csv_text and "c" in csv_text  # header widened
 
 
+def test_csv_logger_appends_without_rewrite(tmp_path):
+    """Stable key sets append in O(1): mtime-stable header, growing rows."""
+    lg = CSVLogger(str(tmp_path))
+    lg.log_metrics({"a": 1.0}, step=0)
+    lg.log_metrics({"a": 2.0, "b": 3.0}, step=1)  # widens -> rewrite
+    lg.log_metrics({"a": 4.0, "b": 5.0}, step=2)  # appends
+    lines = (tmp_path / "metrics.csv").read_text().strip().splitlines()
+    assert lines[0] == "a,b"
+    assert len(lines) == 4  # header + 3 rows
+    assert lines[1].startswith("1.0")  # first row backfilled with the new key
+    assert lines[3] == "4.0,5.0"
+
+
+def test_multihost_hook_noop_and_rank0():
+    """Single-process: the distributed hook is a no-op and this host is
+    rank 0 (the multi-host entry, parity: configs/trainer/ddp.yaml)."""
+    from particle_fm_tpu.parallel.mesh import (
+        is_rank_zero,
+        maybe_initialize_distributed,
+    )
+
+    assert maybe_initialize_distributed(None) is False  # env unset
+    assert maybe_initialize_distributed(False) is False
+    assert is_rank_zero() is True
+
+
 def test_logger_service_backends_skip_gracefully(tmp_path):
     # wandb/comet/mlflow are external services not in this image: MultiLogger
     # must skip them (warning) and keep the working backends
