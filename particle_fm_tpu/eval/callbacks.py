@@ -31,14 +31,31 @@ def _tile_to(a, n: int):
     return np.concatenate([a] * reps, axis=0)[:n]
 
 
+def _hist_cdf_w1(real_vals, gen_vals, edges, weights_real=None, weights_gen=None):
+    """The reference's calo W1 estimator: fill fixed-bin histograms, then
+    mean |CDF_fake - CDF_real| with both CDFs normalized to 1
+    (calo_challenge_eval.py:205-227)."""
+    hr, _ = np.histogram(real_vals, bins=edges, weights=weights_real)
+    hg, _ = np.histogram(gen_vals, bins=edges, weights=weights_gen)
+    cr = hr.cumsum().astype(float)
+    cg = hg.cumsum().astype(float)
+    if cr[-1] == 0 or cg[-1] == 0:
+        return float("nan")
+    return float(np.mean(np.abs(cg / cg[-1] - cr / cr[-1])))
+
+
 @dataclass
 class CaloEvalCallback:
-    """CaloChallenge in-training eval: per-feature hit W1 (E, z, alpha, r),
-    occupancy, and energy response sum(E_hits)/E_inc.
+    """CaloChallenge in-training eval with the reference's histogram protocol:
+    fixed-binning histograms of raw hit values — E: Regular(100, 0, 6500),
+    z/alpha/R: one bin per integer (0..45/16/9) — W1'd as the mean absolute
+    CDF difference, plus energy-weighted z/alpha/R variants and the
+    sum(E)/E_inc response on Regular(100, 0.6, 1.1).
 
-    Parity: callbacks/calo_challenge/calo_challenge_eval.py:37-261 (the
-    reference fills `hist` histograms and W1s them; here the W1 runs on the
-    raw masked hit values directly — same discriminating quantities)."""
+    Parity: callbacks/calo_challenge/calo_challenge_eval.py:125-261 — metric
+    names follow the reference's logs with '/' -> '_':
+    features_E, features_z, features_alpha, features_R, features_*_weighted,
+    weighted_z, w1p_mean."""
 
     every_n_epochs: int | str = 10
     num_showers: int = 2000
@@ -48,10 +65,13 @@ class CaloEvalCallback:
     ode_steps: int = 100
     split: str = "test"
     on_test: bool = False
-    w1_num_batches: int = 40
     seed: int = 9999
     log_epoch_zero: bool = False
-    feature_names: tuple = ("E", "z", "alpha", "r")
+    feature_names: tuple = ("E", "z", "alpha", "R")
+    # reference binning: bins = [100, 45, 16, 9] (eval:141,160-166)
+    e_hist: tuple = (100, 0.0, 6500.0)
+    int_bins: tuple = (45, 16, 9)  # z, alpha, R integer axes
+    response_hist: tuple = (100, 0.6, 1.1)
 
     def __call__(self, trainer) -> Optional[dict]:
         if not getattr(trainer, "testing", False):
@@ -61,8 +81,6 @@ class CaloEvalCallback:
                 return None
         import jax as _jax
         import numpy as _np
-
-        from particle_fm_tpu.eval.metrics import wasserstein_distance_batched
 
         dm = trainer.datamodule
         real = getattr(dm, f"tensor_{self.split}")
@@ -86,26 +104,47 @@ class CaloEvalCallback:
             ode_solver=self.ode_solver,
             ode_steps=self.ode_steps,
         )
+        # the W1 protocol runs in RAW space (E in MeV, integer z/alpha/R);
+        # the datamodule stores scaler-transformed hits, so invert both sides
+        real_raw, gen_raw = real[:n], gen
+        scaler = getattr(dm, "scaler", None)
+        if scaler is not None:
+            real_raw = scaler.inverse_transform(_np.asarray(real_raw).copy())
+            gen_raw = scaler.inverse_transform(_np.asarray(gen_raw).copy())
+
         out = {"generation_time": gen_time}
-        keep_r = mask[:n, :, 0] > 0
-        keep_g = keep_r  # same multiplicities by construction (shared mask)
-        n_eval = int(min(keep_r.sum(), 50_000))
-        for f, name in enumerate(self.feature_names[: real.shape[-1]]):
-            w1, w1s = wasserstein_distance_batched(
-                real[:n][keep_r][:, f], gen[keep_g][:, f], n_eval, self.w1_num_batches
-            )
-            out[f"w1_{name}_mean"] = w1
-            out[f"w1_{name}_std"] = w1s
-        # energy response: total hit energy / incident energy (cond = log(E)-10)
+        keep = mask[:n, :, 0] > 0
+        rr, gg = real_raw[keep], gen_raw[keep]
+        e_r, e_g = rr[:, 0], gg[:, 0]
+
+        w1ps = []
+        nb, lo, hi = self.e_hist
+        edges_e = _np.linspace(lo, hi, int(nb) + 1)
+        w1 = _hist_cdf_w1(e_r, e_g, edges_e)
+        out["features_E"] = w1
+        w1ps.append(w1)
+        for f, (name, nbins) in enumerate(zip(self.feature_names[1:], self.int_bins), start=1):
+            if f >= rr.shape[-1]:
+                break
+            edges = _np.arange(0, nbins + 1)
+            w1 = _hist_cdf_w1(rr[:, f], gg[:, f], edges)
+            out[f"features_{name}"] = w1
+            w1ps.append(w1)
+            w1w = _hist_cdf_w1(rr[:, f], gg[:, f], edges, weights_real=e_r, weights_gen=e_g)
+            out[f"features_{name}_weighted"] = w1w
+            if name == "z":
+                out["weighted_z"] = w1w
+        out["w1p_mean"] = float(_np.nanmean(w1ps))
+
+        # energy response sum(E_hits)/E_inc on the reference's fixed axis
         if cond is not None:
             e_inc = _np.exp(_np.asarray(cond[:n]).reshape(-1) + 10.0)
-            resp_r = real[:n][..., 0].sum(axis=1) / e_inc
-            resp_g = gen[..., 0].sum(axis=1) / e_inc
-            w1, w1s = wasserstein_distance_batched(
-                resp_r, resp_g, min(n, 50_000), self.w1_num_batches
+            resp_r = (real_raw[..., 0] * mask[:n, :, 0]).sum(axis=1) / e_inc
+            resp_g = (gen_raw[..., 0] * mask[:n, :, 0]).sum(axis=1) / e_inc
+            nb, lo, hi = self.response_hist
+            out["w1_response"] = _hist_cdf_w1(
+                resp_r, resp_g, _np.linspace(lo, hi, int(nb) + 1)
             )
-            out["w1_response_mean"] = w1
-            out["w1_response_std"] = w1s
         return out
 
 

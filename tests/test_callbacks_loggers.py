@@ -24,13 +24,18 @@ def test_calo_eval_callback(tmp_path, mesh):
         layers=1, frequencies=4, loss_type="CFM", global_cond_dim=1, local_cond_dim=1,
     )
     cb = CaloEvalCallback(every_n_epochs=1, num_showers=64, generation_batch_size=64,
-                          ode_steps=4, use_ema=False, w1_num_batches=2, log_epoch_zero=True)
+                          ode_steps=4, use_ema=False, log_epoch_zero=True)
     trainer = Trainer(model=model, datamodule=dm, optimizer=make_optimizer(),
                       max_epochs=1, callbacks=[cb], verbose=False, mesh=mesh)
     trainer.fit()
     m = trainer.metrics_history[-1]
-    for k in ("w1_E_mean", "w1_z_mean", "w1_alpha_mean", "w1_r_mean", "w1_response_mean"):
+    # reference histogram-protocol metric names (calo_challenge_eval.py:205-230)
+    for k in ("features_E", "features_z", "features_alpha", "features_R",
+              "features_z_weighted", "weighted_z", "w1p_mean"):
         assert k in m and np.isfinite(m[k]), k
+    # an untrained model's response can fall entirely outside the fixed
+    # [0.6, 1.1] axis -> empty histogram -> NaN; the key must still be logged
+    assert "w1_response" in m
 
 
 def test_per_jettype_losses(tmp_path, mesh):
