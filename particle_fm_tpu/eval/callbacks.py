@@ -72,6 +72,7 @@ class CaloEvalCallback:
     e_hist: tuple = (100, 0.0, 6500.0)
     int_bins: tuple = (45, 16, 9)  # z, alpha, R integer axes
     response_hist: tuple = (100, 0.6, 1.1)
+    make_plots: bool = False  # shower point-cloud grids per eval
 
     def __call__(self, trainer) -> Optional[dict]:
         if not getattr(trainer, "testing", False):
@@ -144,6 +145,20 @@ class CaloEvalCallback:
             nb, lo, hi = self.response_hist
             out["w1_response"] = _hist_cdf_w1(
                 resp_r, resp_g, _np.linspace(lo, hi, int(nb) + 1)
+            )
+        if self.make_plots:
+            import os
+
+            from particle_fm_tpu.eval.plotting import plot_calo_showers
+
+            out_dir = os.path.join(trainer.log_dir or ".", "callback_images")
+            plot_calo_showers(
+                gen_raw, mask[:n],
+                save_path=os.path.join(out_dir, f"showers_gen_epoch{trainer.epoch}.png"),
+            )
+            plot_calo_showers(
+                _np.asarray(real_raw), mask[:n],
+                save_path=os.path.join(out_dir, f"showers_real_epoch{trainer.epoch}.png"),
             )
         return out
 
@@ -538,9 +553,27 @@ class FinalEvalCallback(JetNetEvalCallback):
             metrics["kpd_std"] = kpd_std
 
         if self.make_plots:
-            from particle_fm_tpu.eval.plotting import plot_data
+            from particle_fm_tpu.eval.plotting import (
+                plot_data,
+                plot_data_per_type,
+                plot_single_jets,
+            )
 
             plot_data(real[:n], gen, os.path.join(out_dir, "final_comparison.png"))
+            # 16-jet point-cloud grids (reference plot_single_jets)
+            plot_single_jets(gen, save_path=os.path.join(out_dir, "single_jets_gen.png"))
+            plot_single_jets(
+                real[:n], color="#1A52E2",
+                save_path=os.path.join(out_dir, "single_jets_real.png"),
+            )
+            # per-jet-type comparison grids when the DM exposes one-hot labels
+            labels = getattr(dm, f"labels_{self.split}", None)
+            if labels is not None and len(labels) >= n:
+                plot_data_per_type(
+                    real[:n], gen, labels[:n],
+                    type_names=getattr(dm, "used_jet_types", None),
+                    save_dir=out_dir,
+                )
 
         import yaml
 

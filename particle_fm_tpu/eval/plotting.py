@@ -163,6 +163,162 @@ def plot_loss_curves(metrics_history: list[dict], save_path: str | None = None,
     return fig  # no path: hand the figure back (notebook display)
 
 
+def plot_single_jets(
+    data: np.ndarray,
+    color: str = "#E2001A",
+    save_path: str | None = None,
+    n_jets: int = 16,
+    seed: int = 0,
+) -> "str | matplotlib.figure.Figure":
+    """Grid of randomly selected jets as (eta, phi) point clouds with marker
+    size ~ pt (parity: plotting.py:73-114 plot_single_jets)."""
+    apply_mpl_styles()
+    side = int(np.ceil(np.sqrt(n_jets)))
+    fig, axes = plt.subplots(side, side, figsize=(4 * side, 4 * side))
+    rs = np.random.RandomState(seed)
+    for i, ax in enumerate(np.asarray(axes).ravel()):
+        if i >= n_jets:
+            ax.axis("off")
+            continue
+        idx = rs.randint(len(data))
+        pts = data[idx]
+        real = np.abs(pts).sum(-1) > 0
+        ax.scatter(
+            pts[real, 0], pts[real, 1], s=5000 * np.abs(pts[real, 2]),
+            color=color, alpha=0.5,
+        )
+        ax.set_xlabel(r"$\eta$")
+        ax.set_ylabel(r"$\phi$")
+        ax.set_xlim(-0.3, 0.3)
+        ax.set_ylim(-0.3, 0.3)
+    fig.tight_layout()
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, bbox_inches="tight")
+        plt.close(fig)
+        return save_path
+    return fig  # no path: hand the figure back (notebook display)
+
+
+def plot_data_per_type(
+    real: np.ndarray,
+    gen: np.ndarray,
+    labels: np.ndarray,
+    type_names: list | None = None,
+    save_dir: str | None = None,
+    **plot_kwargs,
+) -> list:
+    """One master comparison grid per jet type (one-hot `labels` select the
+    type; parity: the reference's per-type plot loop, plotting.py:1422-1619 /
+    jetclass_eval per-type breakdown). Returns the saved paths/figures."""
+    idx = np.argmax(labels, axis=1)
+    names = type_names or [str(i) for i in range(labels.shape[1])]
+    out = []
+    for t, name in enumerate(names):
+        sel = idx[: len(gen)] == t
+        if sel.sum() < 8:
+            continue
+        path = (
+            os.path.join(save_dir, f"comparison_{name}.png") if save_dir else None
+        )
+        out.append(plot_data(real[: len(gen)][sel], gen[sel], path,
+                             suffix=f"({name})", **plot_kwargs))
+    return out
+
+
+def plot_calo_showers(
+    x: np.ndarray,
+    mask: np.ndarray | None = None,
+    save_path: str | None = None,
+    n_showers: int = 9,
+    seed: int = 0,
+) -> "str | matplotlib.figure.Figure":
+    """Calo shower point clouds: hits in the (z, r) plane, marker size/color
+    by hit energy (parity: utils/calo_challenge_utils.py:121 point-cloud
+    display; feature order (E, z, alpha, r))."""
+    apply_mpl_styles()
+    side = int(np.ceil(np.sqrt(n_showers)))
+    fig, axes = plt.subplots(side, side, figsize=(4 * side, 3.5 * side))
+    rs = np.random.RandomState(seed)
+    for i, ax in enumerate(np.asarray(axes).ravel()):
+        if i >= n_showers:
+            ax.axis("off")
+            continue
+        idx = rs.randint(len(x))
+        hits = x[idx]
+        keep = mask[idx, :, 0] > 0 if mask is not None else np.abs(hits).sum(-1) > 0
+        h = hits[keep]
+        if len(h) == 0:
+            continue
+        e = np.abs(h[:, 0])
+        sc = ax.scatter(h[:, 1], h[:, 3], s=3 + 40 * e / max(e.max(), 1e-9),
+                        c=e, cmap="viridis", alpha=0.7)
+        ax.set_xlabel("z layer")
+        ax.set_ylabel("r bin")
+        fig.colorbar(sc, ax=ax, label="E")
+    fig.tight_layout()
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path)
+        plt.close(fig)
+        return save_path
+    return fig  # no path: hand the figure back (notebook display)
+
+
+def measure_generation_timing(
+    models_by_size: list,
+    jets_to_generate: int = 1000,
+    batch_size: int = 256,
+    ode_solver: str = "midpoint",
+    ode_steps: int = 100,
+) -> "tuple[list, list]":
+    """Time generation per jet at several jet sizes.
+
+    `models_by_size` = [(n_particles, model, variables), ...] — one model
+    instance per size (XLA programs have static shapes, so the reference's
+    single-model multi-size loop, plotting.py:1193-1211, maps to one compiled
+    program per size here). Returns (sizes, seconds_per_jet)."""
+    from particle_fm_tpu.eval.generation import generate_data
+
+    sizes, times = [], []
+    for n, model, variables in models_by_size:
+        _, t = generate_data(
+            model, variables, num_jet_samples=jets_to_generate,
+            batch_size=batch_size, variable_set_sizes=False,
+            ode_solver=ode_solver, ode_steps=ode_steps,
+        )
+        sizes.append(int(n))
+        times.append(t / jets_to_generate)
+    return sizes, times
+
+
+def plot_generation_timing(
+    curves: list,
+    save_path: str | None = None,
+    xscale_log: bool = False,
+) -> "str | matplotlib.figure.Figure":
+    """Generation time per jet vs particles per jet, one curve per model
+    family: `curves` = [(label, particles_per_jet, seconds_per_jet), ...]
+    (measure with measure_generation_timing). Parity: plotting.py:1175-1229
+    do_timing_plots."""
+    apply_mpl_styles()
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    for label, sizes, row in curves:
+        ax.plot(list(sizes), list(row), marker="o", label=label)
+    ax.set_xlabel("Particles per Jet")
+    ax.set_ylabel("Generation time per jet [s]")
+    if xscale_log:
+        ax.set_xscale("log")
+    ax.legend()
+    fig.tight_layout()
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path)
+        plt.close(fig)
+        return save_path
+    return fig  # no path: hand the figure back (notebook display)
+
+
 def plot_feature_ratios(real: np.ndarray, gen: np.ndarray, save_path: str | None = None,
                         labels: list | None = None) -> "str | matplotlib.figure.Figure":
     """Per-feature histograms with gen/real ratio panels

@@ -30,6 +30,56 @@ def test_plot_data_and_ratios(tmp_path):
     assert jets.shape == (100, 4) and mult.shape == (100,) and efps.shape[-1] == 5
 
 
+def test_plot_single_jets_and_per_type(tmp_path):
+    from particle_fm_tpu.eval.plotting import plot_data_per_type, plot_single_jets
+
+    x1, _, _ = synthetic_cloud(batch=60, n=20, seed=0)
+    x2, _, _ = synthetic_cloud(batch=60, n=20, seed=1)
+    p = plot_single_jets(x1, save_path=str(tmp_path / "jets.png"))
+    assert os.path.exists(p) and os.path.getsize(p) > 10_000
+    labels = np.eye(2)[np.random.RandomState(0).randint(0, 2, 60)]
+    paths = plot_data_per_type(x1, x2, labels, type_names=["t", "q"],
+                               save_dir=str(tmp_path))
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+
+def test_plot_calo_showers(tmp_path):
+    from particle_fm_tpu.data.synthetic import synthetic_calo
+    from particle_fm_tpu.eval.plotting import plot_calo_showers
+
+    x, mask, _ = synthetic_calo(30, 50, seed=0)
+    p = plot_calo_showers(x, mask, save_path=str(tmp_path / "showers.png"))
+    assert os.path.exists(p)
+
+
+def test_plot_generation_timing(tmp_path):
+    from particle_fm_tpu.eval.plotting import plot_generation_timing
+
+    p = plot_generation_timing(
+        [("a", [10, 30, 150], [1e-4, 2e-4, 9e-4]),
+         ("b", [10, 30, 150], [2e-4, 3e-4, 1.5e-3])],
+        save_path=str(tmp_path / "timing.png"),
+    )
+    assert os.path.exists(p)
+
+
+def test_measure_generation_timing_tiny():
+    """scripts/timing_plots.py core: one (size, model) entry measured live."""
+    import jax
+
+    from particle_fm_tpu.eval.plotting import measure_generation_timing
+
+    model = FlowMatchingModel(
+        model="epic", features=3, num_particles=6, hidden_dim=8, latent=4,
+        layers=1, frequencies=4, loss_type="FM-OT",
+    )
+    variables = model.init(jax.random.PRNGKey(0))
+    sizes, times = measure_generation_timing(
+        [(6, model, variables)], jets_to_generate=32, batch_size=16, ode_steps=2,
+    )
+    assert sizes == [6] and times[0] >= 0.0
+
+
 def test_plot_loss_curves(tmp_path):
     hist = [{"epoch": i, "train_loss": 1.0 / (i + 1), "val_loss": 1.2 / (i + 1)} for i in range(5)]
     p = plot_loss_curves(hist, str(tmp_path / "loss.png"))
