@@ -3,18 +3,27 @@
 Protocol (mirrors the reference's measurement conventions):
   - model: EPiC encoder, hidden 128, latent 10, 6 EPiC layers, cosine t-emb
     (reference configs/model/flow_matching.yaml defaults)
-  - sampling: midpoint solver, ode_steps=100 (reference
-    configs/callbacks/jetnet_eval.yaml:16-20), i.e. 99 steps x 2 NFE
+  - sampling: midpoint solver; PRIMARY setting NFE=100 (ode_steps=51, i.e.
+    50 steps x 2 NFE — the BASELINE.json north-star setting), plus a
+    secondary NFE=198 measurement (ode_steps=100, round-1 setting)
   - batch 1024; the first batch is excluded from timing as compile/warm-up
     (reference utils/data_generation.py:82-83,125)
 
 vs_baseline is measured against an *estimated* A100 eager-PyTorch throughput
-for the same model/protocol, derived from a FLOPs model (~13.5 GFLOP/jet at
-198 NFE, ~10% effective utilization on eager fp32/TF32): ~740 jets/s. The
-reference repo publishes no benchmark numbers (BASELINE.md), so this anchor
-is explicit and conservative; the target from BASELINE.json is >=10x.
+for the same model/protocol, derived from a FLOPs model (6.67 GFLOP/jet at
+100 NFE per XLA cost analysis, ~10% effective utilization on eager
+fp32/TF32): ~1465 jets/s at NFE=100 (= 740 jets/s at NFE=198 scaled by
+198/100). The reference repo publishes no benchmark numbers (BASELINE.md),
+so this anchor is explicit and conservative; the target from BASELINE.json
+is >=10x. Measured 2026-08 on one v5e chip: ~20,200 jets/s at NFE=100
+(13.8x, 68% MFU), ~10,500 jets/s at NFE=198.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+To make the claim auditable independently of that estimate, the output also
+reports absolute FLOPs/jet (XLA cost analysis of the compiled sampler, with
+an analytic EPiC FLOPs model as fallback), achieved TFLOP/s, and MFU against
+the chip's bf16 peak.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
@@ -29,12 +38,61 @@ import jax.numpy as jnp
 
 from particle_fm_tpu.models.flow_matching import FlowMatchingModel
 
-BASELINE_JETS_PER_SEC = 740.0  # estimated A100 eager-torch reference (see docstring)
+# estimated A100 eager-torch reference at NFE=100 (see docstring)
+BASELINE_JETS_PER_SEC_NFE100 = 740.0 * 198.0 / 100.0
 
 BATCH = 1024
-N_TIMED_BATCHES = 5
-ODE_STEPS = 100
+SCAN_K = 16  # sub-batches per dispatch (lax.scan inside the jitted sampler)
+N_TIMED_BATCHES = 2  # dispatches; total timed jets = BATCH * SCAN_K * N
 SOLVER = "midpoint"
+
+# bf16 peak TFLOP/s per chip by device kind (public TPU specs)
+PEAK_TFLOPS = {"v4": 275.0, "v5e": 197.0, "v5p": 459.0, "v6e": 918.0}
+
+
+def _peak_tflops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in PEAK_TFLOPS.items():
+        if key in kind:
+            return peak
+    return 197.0  # default to v5e
+
+
+def _analytic_flops_per_jet(nfe: int, n=150, h=128, latent=10, layers=6) -> float:
+    """Analytic EPiC FLOPs model (matmul 2*m*n*k only, the dominant term).
+
+    Per NFE, per jet: input/output projections (~2*n*3*h each), and per EPiC
+    layer two global MLPs (~2*(2h)*h + 2*h*h on the pooled vector, amortized
+    over n) plus two local MLPs (~2*n*(2h)*h + 2*n*h*h)."""
+    proj = 2 * 2 * n * 3 * h
+    per_layer_local = 2 * n * (2 * h) * h + 2 * n * h * h
+    per_layer_global = (2 * (2 * h + latent) * h + 2 * h * latent) * 2
+    return float(nfe * (proj + layers * (per_layer_local + per_layer_global)))
+
+
+def _flops_per_jet(model, variables, nfe: int) -> tuple[float, str]:
+    """FLOPs per jet = (XLA cost analysis of ONE loop-free vector-field
+    eval) x NFE. XLA's cost model counts lax.scan/while bodies once, so the
+    compiled sampler's own number is useless — the loop-free single eval is
+    exact. Analytic matmul model as fallback where the backend reports no
+    flops. Measured on this config: 66.7 MFLOP/jet/NFE (xla)."""
+    try:
+        t = jnp.full((BATCH,), 0.5)
+        x = jnp.zeros((BATCH, 150, 3))
+        mask1 = jnp.ones((BATCH, 150, 1))
+
+        def vf(t, x, mask):
+            return model.vector_field(variables, t, x, mask=mask)
+
+        cost = jax.jit(vf).lower(t, x, mask1).compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        flops = float(cost["flops"])
+        if flops > 0:
+            return flops / BATCH * nfe, "xla_cost_analysis_single_vf_x_nfe"
+    except Exception:
+        pass
+    return _analytic_flops_per_jet(nfe), "analytic_matmul_model"
 
 
 def main():
@@ -58,19 +116,27 @@ def main():
     variables = model.init(rng)
     mask = jnp.ones((BATCH, 150, 1))
 
-    # close over the weights: a deployed sampler holds its parameters (like
-    # the torch reference's module) — re-passing the param pytree per call
-    # costs ~25% in per-leaf dispatch overhead on this host
-    @jax.jit
-    def run(key):
-        return model.sample(
-            variables,
-            key,
-            n_samples=BATCH,
-            mask=mask,
-            ode_solver=SOLVER,
-            ode_steps=ODE_STEPS,
-        )
+    def make_run(ode_steps):
+        # close over the weights: a deployed sampler holds its parameters
+        # (like the torch reference's module) — re-passing the param pytree
+        # per call costs ~25% in per-leaf dispatch overhead on this host.
+        # lax.scan over SCAN_K sub-batches amortizes the host->relay dispatch
+        # (~20-30 ms/call on this env) over 16x more jets per call; the full
+        # (SCAN_K, BATCH, 150, 3) sample tensor is returned (materialized to
+        # HBM), so this measures a real producing sampler, not a reduced one.
+        @jax.jit
+        def run(key):
+            def body(_, k):
+                out = model.sample(
+                    variables, k, n_samples=BATCH, mask=mask,
+                    ode_solver=SOLVER, ode_steps=ode_steps,
+                )
+                return None, out
+
+            _, outs = jax.lax.scan(body, None, jax.random.split(key, SCAN_K))
+            return outs
+
+        return run
 
     def materialize(out):
         # On some PJRT plugins (axon relay) block_until_ready returns before
@@ -78,22 +144,46 @@ def main():
         # reliable fence, so sync on a scalar reduction.
         return float(jnp.sum(out))
 
-    # warm-up batch (compile) — excluded from timing like the reference
-    materialize(run(jax.random.PRNGKey(1)))
+    def measure(ode_steps):
+        run = make_run(ode_steps)
+        # two warm-up batches (compile + first-execution relay costs), excluded
+        materialize(run(jax.random.PRNGKey(1)))
+        materialize(run(jax.random.PRNGKey(0)))
+        # dispatch all timed batches, fence once at the end: executions are
+        # sequential on the device, so this measures true device throughput
+        # without paying the ~20 ms relay fence latency per batch (a deployed
+        # sampler pipelines batches the same way)
+        t0 = time.perf_counter()
+        outs = [run(jax.random.PRNGKey(2 + i)) for i in range(N_TIMED_BATCHES)]
+        for out in outs:
+            materialize(out)
+        dt = time.perf_counter() - t0
+        return BATCH * SCAN_K * N_TIMED_BATCHES / dt, run
 
-    t0 = time.perf_counter()
-    for i in range(N_TIMED_BATCHES):
-        materialize(run(jax.random.PRNGKey(2 + i)))
-    dt = time.perf_counter() - t0
+    # primary: NFE=100 (ode_steps=51 -> 50 midpoint steps x 2 NFE)
+    jets_100, run_100 = measure(51)
+    # secondary: NFE=198 (round-1 setting, ode_steps=100)
+    jets_198, _ = measure(100)
 
-    jets_per_sec = BATCH * N_TIMED_BATCHES / dt
+    del run_100
+    flops_per_jet, flops_src = _flops_per_jet(model, variables, nfe=100)
+    peak = _peak_tflops()
+    achieved_tflops = flops_per_jet * jets_100 / 1e12
+
     print(
         json.dumps(
             {
-                "metric": "sampled_jets_per_sec_per_chip_jetnet150_epicfm_nfe198",
-                "value": round(jets_per_sec, 2),
+                "metric": "sampled_jets_per_sec_per_chip_jetnet150_epicfm_nfe100",
+                "value": round(jets_100, 2),
                 "unit": "jets/s/chip",
-                "vs_baseline": round(jets_per_sec / BASELINE_JETS_PER_SEC, 3),
+                "vs_baseline": round(jets_100 / BASELINE_JETS_PER_SEC_NFE100, 3),
+                "nfe198_jets_per_sec": round(jets_198, 2),
+                "flops_per_jet_nfe100": round(flops_per_jet),
+                "flops_source": flops_src,
+                "achieved_tflops": round(achieved_tflops, 3),
+                "peak_bf16_tflops": peak,
+                "mfu": round(achieved_tflops / peak, 5),
+                "device_kind": jax.devices()[0].device_kind,
             }
         )
     )
