@@ -223,18 +223,24 @@ class FlowMatchingModel:
         the full Jacobian — here jacfwd per sample under vmap). Set
         exact=False for the Hutchinson estimator (O(1) per step instead of
         O(F) — the TPU-friendly choice for wide features).
-        """
-        if self.n_transforms != 1:
-            raise NotImplementedError("log_prob supports n_transforms == 1")
 
-        def vf_single(t, xi, ci, mi):
-            # single-sample vector field: (N, F) -> (N, F)
+        With n_transforms > 1 the log-det accumulates through the whole CNF
+        stack: sampling runs flows in reversed order from noise, so the
+        density direction chains flow 0, 1, ..., n-1 from data to prior,
+        each integrated t: 0 -> 1 (the composition the reference builds by
+        wrapping each flow in its own CNF, flow_matching_module.py:168-196).
+        """
+
+        def vf_single(k, t, xi, ci, mi):
+            # single-sample vector field of flow k: (N, F) -> (N, F)
             out = self.module.apply(
                 variables,
+                k,
                 t[None] if t.ndim == 0 else t,
                 xi[None],
                 cond=None if ci is None else ci[None],
                 mask=None if mi is None else mi[None],
+                method="flow_k",
             )
             return out[0]
 
@@ -244,44 +250,54 @@ class FlowMatchingModel:
                 rng = jax.random.PRNGKey(0)
             eps = jax.random.normal(rng, x.shape, x.dtype)
 
-        def div_single(t, xi, ci, mi, ei):
+        def div_single(k, t, xi, ci, mi, ei):
             if exact:
                 flat = xi.reshape(-1)
 
                 def f_flat(z):
-                    return vf_single(t, z.reshape(xi.shape), ci, mi).reshape(-1)
+                    return vf_single(k, t, z.reshape(xi.shape), ci, mi).reshape(-1)
 
                 jac = jax.jacfwd(f_flat)(flat)
                 return jnp.trace(jac)
             # Hutchinson: e^T (dv/dx) e
-            _, jvp = jax.jvp(lambda z: vf_single(t, z, ci, mi), (xi,), (ei,))
+            _, jvp = jax.jvp(lambda z: vf_single(k, t, z, ci, mi), (xi,), (ei,))
             return jnp.sum(jvp * ei)
 
         n = ode_steps - 1
         dt = 1.0 / n
 
-        def drift(t, state):
-            xs, ladj = state
-            ts = jnp.asarray(t)
+        def integrate_flow(k, xs, ladj):
+            """Augmented midpoint integration of flow k from t=0 to t=1."""
 
-            def one(xi, ci, mi, ei):
-                return vf_single(ts, xi, ci, mi), div_single(ts, xi, ci, mi, ei)
+            def drift(t, xs):
+                ts = jnp.asarray(t)
 
-            in_axes = (0, None if cond is None else 0, None if mask is None else 0,
-                       None if eps is None else 0)
-            dx, div = jax.vmap(one, in_axes=in_axes)(xs, cond, mask, eps)
-            return dx, div
+                def one(xi, ci, mi, ei):
+                    return (
+                        vf_single(k, ts, xi, ci, mi),
+                        div_single(k, ts, xi, ci, mi, ei),
+                    )
 
-        def step(state, k):
-            xs, ladj = state
-            t = k.astype(x.dtype) * dt
-            # midpoint for both x and the log-det accumulation
-            dx1, div1 = drift(t, (xs, ladj))
-            dx2, div2 = drift(t + 0.5 * dt, (xs + 0.5 * dt * dx1, ladj))
-            return (xs + dt * dx2, ladj + dt * div2), None
+                in_axes = (0, None if cond is None else 0, None if mask is None else 0,
+                           None if eps is None else 0)
+                return jax.vmap(one, in_axes=in_axes)(xs, cond, mask, eps)
 
-        ladj0 = jnp.zeros(x.shape[0], x.dtype)
-        (z, ladj), _ = jax.lax.scan(step, (x, ladj0), jnp.arange(n))
+            def step(state, i):
+                xs, ladj = state
+                t = i.astype(x.dtype) * dt
+                # midpoint for both x and the log-det accumulation
+                dx1, div1 = drift(t, xs)
+                dx2, div2 = drift(t + 0.5 * dt, xs + 0.5 * dt * dx1)
+                return (xs + dt * dx2, ladj + dt * div2), None
+
+            (xs, ladj), _ = jax.lax.scan(step, (xs, ladj), jnp.arange(n))
+            return xs, ladj
+
+        z = x
+        ladj = jnp.zeros(x.shape[0], x.dtype)
+        # density direction = forward flow order (sampling runs reversed)
+        for k in range(self.n_transforms):
+            z, ladj = integrate_flow(k, z, ladj)
         if mask is not None:
             z = z * mask
             dims = jnp.sum(mask, axis=(1, 2)) * x.shape[-1]

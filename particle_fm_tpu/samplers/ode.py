@@ -105,8 +105,15 @@ def odeint_dopri5(
     init_dt: float | None = None,
     max_steps: int = 1000,
     safety: float = 0.9,
+    warn_on_truncation: bool = True,
+    return_stats: bool = False,
 ) -> jnp.ndarray:
-    """Adaptive DOPRI5 via lax.while_loop. One global step size for the batch."""
+    """Adaptive DOPRI5 via lax.while_loop. One global step size for the batch.
+
+    If the `max_steps` budget is exhausted before reaching t1 the result is
+    truncated: a runtime warning is printed from the compiled program
+    (warn_on_truncation) and, with return_stats=True, (x, {"steps", "reached"})
+    is returned so callers can assert convergence programmatically."""
     direction = 1.0 if t1 > t0 else -1.0
     span = abs(t1 - t0)
     dt0 = direction * (init_dt if init_dt is not None else span / 50.0)
@@ -145,7 +152,21 @@ def odeint_dopri5(
         return (t, x, dt, n + 1)
 
     t0a = jnp.asarray(t0, x0.dtype)
-    _, x, _, _ = jax.lax.while_loop(
+    t_end, x, _, n = jax.lax.while_loop(
         cond, body, (t0a, x0, jnp.asarray(dt0, x0.dtype), jnp.asarray(0))
     )
+    reached = direction * (t1 - t_end) <= 1e-10
+    if warn_on_truncation:
+        jax.lax.cond(
+            reached,
+            lambda: None,
+            lambda: jax.debug.print(
+                "odeint_dopri5: step budget ({m}) exhausted at t={t} before "
+                "reaching t1={t1}; the result is truncated (raise max_steps "
+                "or loosen rtol/atol)",
+                m=max_steps, t=t_end, t1=t1,
+            ),
+        )
+    if return_stats:
+        return x, {"steps": n, "reached": reached}
     return x

@@ -72,3 +72,33 @@ def test_log_prob_hutchinson_close_to_exact():
     ]
     lp_hutch = np.mean(lps, axis=0)
     np.testing.assert_allclose(lp_hutch, lp_exact, atol=0.35)
+
+
+def test_log_prob_multi_transform_stack():
+    """n_transforms > 1: log_prob chains the whole CNF stack (reference
+    composes one CNF per flow, flow_matching_module.py:168-196) and stays a
+    proper density (near beats far; finite)."""
+    model = FlowMatchingModel(model="epic", features=2, num_particles=4,
+                              hidden_dim=8, latent=4, layers=1, frequencies=4,
+                              n_transforms=2)
+    variables = model.init(jax.random.PRNGKey(0))
+    mask = jnp.ones((2, 4, 1))
+    x_near = jnp.zeros((2, 4, 2))
+    x_far = jnp.ones((2, 4, 2)) * 6.0
+    lp_near = model.log_prob(variables, x_near, mask=mask, ode_steps=25)
+    lp_far = model.log_prob(variables, x_far, mask=mask, ode_steps=25)
+    assert np.isfinite(np.asarray(lp_near)).all()
+    assert (np.asarray(lp_near) > np.asarray(lp_far)).all()
+
+
+def test_log_prob_single_transform_flow_k_equivalence():
+    """The flow_k-based path must agree with the original full-stack apply
+    for n_transforms == 1 (regression guard for the stack generalization)."""
+    model = FlowMatchingModel(model="epic", features=2, num_particles=4,
+                              hidden_dim=8, latent=4, layers=1, frequencies=4)
+    variables = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 4, 2))
+    t = jnp.full((3,), 0.3)
+    full = model.module.apply(variables, t, x)
+    single = model.module.apply(variables, 0, t, x, method="flow_k")
+    np.testing.assert_allclose(np.asarray(full), np.asarray(single), atol=1e-6)

@@ -80,3 +80,30 @@ def test_scan_samplers_jit():
     )
     out = f(jnp.ones((2, 3)))
     np.testing.assert_allclose(np.asarray(out), np.exp(1.0), rtol=1e-3)
+
+
+def test_dopri5_truncation_is_surfaced(capfd):
+    """Exhausting max_steps prints a runtime warning and reports
+    reached=False via return_stats (silent truncation guard)."""
+    from particle_fm_tpu.samplers.ode import odeint_dopri5
+
+    def stiff(t, x):
+        return -200.0 * x  # forces many accepted steps at tight tolerance
+
+    x0 = jnp.ones((4, 2))
+    out, stats = odeint_dopri5(
+        stiff, x0, 0.0, 1.0, rtol=1e-10, atol=1e-12, max_steps=3,
+        return_stats=True,
+    )
+    jax.block_until_ready(out)
+    assert not bool(stats["reached"])
+    assert int(stats["steps"]) == 3
+    captured = capfd.readouterr()
+    assert "step budget" in captured.out + captured.err
+
+    # a smooth problem converges and stays quiet
+    out, stats = odeint_dopri5(
+        lambda t, x: -x, x0, 0.0, 1.0, return_stats=True
+    )
+    jax.block_until_ready(out)
+    assert bool(stats["reached"])
