@@ -3,7 +3,7 @@
 Parity: the reference supports 6 Lightning logger backends behind configs
 (configs/logger/{wandb,comet,tensorboard,mlflow,neptune,csv}.yaml). Here the
 always-on backends are JSONL + CSV; TensorBoard rides the baked-in
-tensorflow when available; wandb/comet/mlflow activate only if their
+tensorflow when available; wandb/comet/mlflow/neptune activate only if their
 packages are importable (external services, not part of this image) —
 MultiLogger skips unavailable ones with a warning. Select via the
 configs/logger/ group (e.g. `logger=wandb`).
@@ -120,6 +120,20 @@ class MLFlowLogger:  # pragma: no cover - external service
         self._mlflow.end_run()
 
 
+class NeptuneLogger:  # pragma: no cover - external service
+    def __init__(self, log_dir: str, **kwargs):
+        import neptune
+
+        self._run = neptune.init_run(**kwargs)
+
+    def log_metrics(self, metrics: dict, step: int) -> None:
+        for k, v in metrics.items():
+            self._run[k].append(float(v), step=step)
+
+    def close(self) -> None:
+        self._run.stop()
+
+
 _BACKENDS = {
     "jsonl": JsonlLogger,
     "csv": CSVLogger,
@@ -127,6 +141,7 @@ _BACKENDS = {
     "wandb": WandbLogger,
     "comet": CometLogger,
     "mlflow": MLFlowLogger,
+    "neptune": NeptuneLogger,
 }
 
 

@@ -104,7 +104,7 @@ def test_logger_service_backends_skip_gracefully(tmp_path):
     # must skip them (warning) and keep the working backends
     ml = MultiLogger(
         str(tmp_path),
-        backends=("jsonl", "wandb", "comet", "mlflow"),
+        backends=("jsonl", "wandb", "comet", "mlflow", "neptune"),
         wandb={"project": "x"},
         comet={"project_name": "x"},
         mlflow={"experiment_name": "x"},
