@@ -82,6 +82,30 @@ def shard_batch(batch, mesh: Mesh):
     )
 
 
+def sp_sharding(mesh: Mesh) -> NamedSharding:
+    """Sequence parallelism: shard (batch, particle) over ('data', 'model').
+
+    The set axis splits across the 'model' mesh axis; XLA inserts the psum
+    for every particle-axis reduction (EPiC masked mean/sum pooling, attention
+    softmax denominators) over ICI. Beyond reference (SURVEY 2.8: the
+    reference has no sequence parallelism; longest set = 558 particles)."""
+    return NamedSharding(mesh, P("data", "model"))
+
+
+def shard_batch_sp(batch, mesh: Mesh):
+    """Place (x, mask, cond): rank>=3 arrays shard (batch, particle) over
+    ('data', 'model'); lower-rank arrays (cond) shard batch only."""
+    seq = sp_sharding(mesh)
+    dat = batch_sharding(mesh)
+
+    def place(x):
+        if x is None:
+            return None
+        return jax.device_put(x, seq if x.ndim >= 3 else dat)
+
+    return jax.tree_util.tree_map(place, batch)
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params, opt state) across the mesh."""
     sh = replicated(mesh)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from particle_fm_tpu.parallel.mesh import batch_sharding, replicated
+from particle_fm_tpu.parallel.mesh import batch_sharding, replicated, sp_sharding
 from particle_fm_tpu.training.ema import ema_update
 
 
@@ -71,8 +71,13 @@ def make_train_step(
     ema_every_n: int = 1,
     ema_start_step: int = 0,
     mesh=None,
+    sp: bool = False,
 ) -> Callable:
-    """Build `train_step(state, rng, x, mask, cond) -> (state, loss)` (jitted)."""
+    """Build `train_step(state, rng, x, mask, cond) -> (state, loss)` (jitted).
+
+    With `sp=True` the particle axis of x/mask additionally shards over the
+    'model' mesh axis (sequence parallelism; place batches with
+    shard_batch_sp) — XLA emits the psum for set-axis reductions."""
 
     def step_fn(state: TrainState, rng: jax.Array, x, mask, cond):
         rng = jax.random.fold_in(rng, state.step)
@@ -107,12 +112,14 @@ def make_train_step(
     if mesh is not None:
         repl = replicated(mesh)
         data = batch_sharding(mesh)
+        seq = sp_sharding(mesh) if sp else data
         # the state's sharding is inherited from the input arrays (None):
-        # replicated for pure DP, or TP-annotated via parallel/tp.shard_state —
-        # XLA's SPMD partitioner propagates either through the whole step
+        # replicated for pure DP, FSDP-placed via parallel/fsdp.shard_state_fsdp,
+        # or TP-annotated via parallel/tp.shard_state — XLA's SPMD partitioner
+        # propagates any of them through the whole step
         return jax.jit(
             step_fn,
-            in_shardings=(None, repl, data, data, data),
+            in_shardings=(None, repl, seq, seq, data),
             out_shardings=(None, repl),
             donate_argnums=(0,),
         )
