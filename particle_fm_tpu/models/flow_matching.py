@@ -378,6 +378,35 @@ class FlowMatchingModel:
                 x = odeint_fixed(drift, x, 1.0, 0.0, ode_steps=ode_steps, method=ode_solver)
             elif ode_solver in ("dopri5", "dopri5_zuko"):
                 x = odeint_dopri5(drift, x, 1.0, 0.0, rtol=1e-4, atol=1e-4)
+            elif ode_solver == "dopri5_per_sample":
+                # Beyond reference: each set integrates with its OWN adaptive
+                # step size (zuko/torchdyn adapt one global step for the whole
+                # batch). vmap over the while_loop runs all lanes in lockstep
+                # with per-lane masked updates, so easy sets stop refining
+                # while hard ones keep stepping. warn_on_truncation is off:
+                # under vmap lax.cond lowers to select and the debug print
+                # would fire unconditionally.
+                def _one(x1, c1, m1, _k=k):
+                    d = self.make_drift(
+                        variables,
+                        cond=None if c1 is None else c1[None],
+                        mask=None if m1 is None else m1[None],
+                        flow_idx=_k,
+                        module=module,
+                    )
+                    return odeint_dopri5(
+                        lambda t, xs: d(t, xs[None])[0], x1, 1.0, 0.0,
+                        rtol=1e-4, atol=1e-4, warn_on_truncation=False,
+                    )
+
+                if cond is None and mask is None:
+                    x = jax.vmap(lambda x1: _one(x1, None, None))(x)
+                elif cond is None:
+                    x = jax.vmap(lambda x1, m1: _one(x1, None, m1))(x, mask)
+                elif mask is None:
+                    x = jax.vmap(lambda x1, c1: _one(x1, c1, None))(x, cond)
+                else:
+                    x = jax.vmap(_one)(x, cond, mask)
             elif ode_solver in ("em", "ddim"):
                 if self.loss_type != "diffusion":
                     raise ValueError(f"Solver {ode_solver} requires diffusion loss")

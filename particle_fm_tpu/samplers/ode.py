@@ -11,9 +11,13 @@ i.e. `ode_steps - 1` uniform steps from t0 to t1. NFE per set:
 `odeint_dopri5` is an adaptive Dormand-Prince 5(4) with a PI step-size
 controller inside `lax.while_loop` (parity with torchdyn's dopri5
 atol=rtol=1e-4 defaults, flow_matching_module.py:267-274). The loop is
-shape-static so it jits; all sets in the batch share one global step size
-(the error norm is taken over the whole batch) — for physics sampling the
-fixed-NFE midpoint path is the production one.
+shape-static so it jits; all sets in the batch share one global step size,
+with the error norm taken over the whole batch — which is exactly what
+torchdyn/zuko do when handed a batched tensor (their error norms are also
+global), so this is the protocol-faithful mode. For per-set adaptivity
+(beyond reference) use `ode_solver="dopri5_per_sample"` in
+FlowMatchingModel.sample, which vmaps this integrator over the batch. For
+physics sampling the fixed-NFE midpoint path is the production one.
 """
 
 from __future__ import annotations
