@@ -6,8 +6,10 @@ Protocol (mirrors the reference's measurement conventions):
   - sampling: midpoint solver; PRIMARY setting NFE=100 (ode_steps=51, i.e.
     50 steps x 2 NFE — the BASELINE.json north-star setting), plus a
     secondary NFE=198 measurement (ode_steps=100, round-1 setting)
-  - batch 1024; the first batch is excluded from timing as compile/warm-up
-    (reference utils/data_generation.py:82-83,125)
+  - batch 640 x 48 scanned sub-batches per dispatch (measured optimum on
+    v5e: large batches lose ~30% to HBM pressure — 1024x16 gives 20.5k,
+    2048x8 14.4k, 4096x8 7.7k, 640x48 21.2k); the first batches are excluded
+    from timing as compile/warm-up (reference utils/data_generation.py:82-83)
 
 vs_baseline is measured against an *estimated* A100 eager-PyTorch throughput
 for the same model/protocol, derived from a FLOPs model (6.67 GFLOP/jet at
@@ -15,8 +17,8 @@ for the same model/protocol, derived from a FLOPs model (6.67 GFLOP/jet at
 fp32/TF32): ~1465 jets/s at NFE=100 (= 740 jets/s at NFE=198 scaled by
 198/100). The reference repo publishes no benchmark numbers (BASELINE.md),
 so this anchor is explicit and conservative; the target from BASELINE.json
-is >=10x. Measured 2026-08 on one v5e chip: ~20,200 jets/s at NFE=100
-(13.8x, 68% MFU), ~10,500 jets/s at NFE=198.
+is >=10x. Measured 2026-08 on one v5e chip: ~21,200 jets/s at NFE=100
+(14.5x, 72% MFU), ~10,800 jets/s at NFE=198.
 
 To make the claim auditable independently of that estimate, the output also
 reports absolute FLOPs/jet (XLA cost analysis of the compiled sampler, with
@@ -41,8 +43,8 @@ from particle_fm_tpu.models.flow_matching import FlowMatchingModel
 # estimated A100 eager-torch reference at NFE=100 (see docstring)
 BASELINE_JETS_PER_SEC_NFE100 = 740.0 * 198.0 / 100.0
 
-BATCH = 1024
-SCAN_K = 16  # sub-batches per dispatch (lax.scan inside the jitted sampler)
+BATCH = 640
+SCAN_K = 48  # sub-batches per dispatch (lax.scan inside the jitted sampler)
 N_TIMED_BATCHES = 2  # dispatches; total timed jets = BATCH * SCAN_K * N
 SOLVER = "midpoint"
 
