@@ -173,13 +173,24 @@ def droid_loss(
     mask: jnp.ndarray | None = None,
     cond: jnp.ndarray | None = None,
     criterion: str = "mse",
+    t_max: float = 1.0,
 ) -> jnp.ndarray:
-    """PC-Droid objective: y = x + t*z, target u = z."""
+    """PC-Droid objective: y = x + t*z, target u = z (reference :308-342).
+
+    t_max (beyond reference, default = reference behavior): the network time
+    s stays in [0, 1] but the physical interpolation time is s*t_max, i.e.
+    y = x + s*t_max*z. The reference's t_max=1 formulation cannot generate
+    from N(0,1) noise: its s=1 marginal is x+z, not z, and with sigma=5
+    normalized data the sampler's prior is wildly off (observed: W1M flat at
+    0.32 over 600 epochs). With t_max >> data std the s=1 marginal
+    x + t_max*z ~= t_max*N(0,1) IS the sampler's prior (VE-SDE / EDM-style
+    wide noise range, as in the actual PC-Droid paper), so the same loss
+    becomes generative."""
     if mask is None:
         mask = _ones_mask(x)
     rng_t, rng_z = jax.random.split(rng)
     t = _sample_t(rng_t, x.shape[0], x.dtype)
-    tb = _tb(t, x)
+    tb = _tb(t, x) * t_max
     z = jax.random.normal(rng_z, x.shape, x.dtype)
     y = x + tb * z
     u = z * mask
@@ -193,6 +204,7 @@ def get_loss_fn(
     criterion: str = "mse",
     diff_config: dict | None = None,
     ot_config: dict | None = None,
+    droid_t_max: float = 1.0,
 ) -> Callable:
     """Build `loss(vf, rng, x, mask, cond)` for a reference loss_type string."""
     diff_config = diff_config or {"max_sr": 1.0, "min_sr": 1e-8}
@@ -216,6 +228,6 @@ def get_loss_fn(
         )
     if loss_type == "droid":
         return lambda vf, rng, x, mask=None, cond=None: droid_loss(
-            vf, rng, x, mask, cond, criterion=criterion
+            vf, rng, x, mask, cond, criterion=criterion, t_max=droid_t_max
         )
     raise NotImplementedError(f"Loss type {loss_type} not implemented.")

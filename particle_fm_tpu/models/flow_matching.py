@@ -63,6 +63,9 @@ class FlowMatchingModel:
         default_factory=lambda: {"max_sr": 1.0, "min_sr": 1e-8}
     )
     criterion: str = "mse"
+    # droid VE-style noise range (see losses.droid_loss): 1.0 = exact
+    # reference behavior; >> data std makes the droid loss generative
+    droid_t_max: float = 1.0
     ot_config: Mapping[str, Any] = dataclasses.field(default_factory=dict)
     dtype: Any = None  # compute dtype for the network (e.g. jnp.bfloat16)
 
@@ -115,6 +118,7 @@ class FlowMatchingModel:
             criterion=self.criterion,
             diff_config=dict(self.diff_config),
             ot_config=dict(self.ot_config),
+            droid_t_max=self.droid_t_max,
         )
         self.conditioned = self.global_cond_dim > 0
 
@@ -230,6 +234,11 @@ class FlowMatchingModel:
         each integrated t: 0 -> 1 (the composition the reference builds by
         wrapping each flow in its own CNF, flow_matching_module.py:168-196).
         """
+        if self.loss_type == "droid" and self.droid_t_max != 1.0:
+            raise NotImplementedError(
+                "log_prob is not defined for the droid VE prior (t_max != 1): "
+                "the s=1 marginal is x + t_max*z, only approximately Gaussian"
+            )
 
         def vf_single(k, t, xi, ci, mi):
             # single-sample vector field of flow k: (N, F) -> (N, F)
@@ -331,6 +340,14 @@ class FlowMatchingModel:
                 betas = sched.get_betas(t)
                 return -0.5 * betas * (x - eps / noise_rates)
 
+        elif self.loss_type == "droid" and self.droid_t_max != 1.0:
+            # physical interpolation time is s*t_max (losses.droid_loss), so
+            # dy/ds = t_max * E[z | y_s]; the network keeps s in [0, 1]
+            tm = self.droid_t_max
+
+            def drift(t, x):
+                return tm * net(t, x)
+
         else:
             drift = net
         return drift
@@ -365,6 +382,11 @@ class FlowMatchingModel:
         module, variables = self.fold_weight_norm(variables)
         rng_z, rng_sde = jax.random.split(rng)
         z = jax.random.normal(rng_z, (n_samples, num_points, self.features))
+        if self.loss_type == "droid":
+            # s=1 marginal of the droid interpolant is x + t_max*z ~=
+            # t_max*N(0,1) when t_max >> data std (exact reference behavior
+            # at the default t_max=1: prior stays N(0,1))
+            z = z * self.droid_t_max
         if mask is not None:
             z = z * mask
         if cond is not None and self.use_normaliser and self.conditioned:

@@ -148,3 +148,52 @@ def test_pairwise_sq_dists():
     got = np.asarray(pairwise_sq_dists(jnp.asarray(a), jnp.asarray(b)))
     want = ((a[:, :, None, :] - b[:, None, :, :]) ** 2).sum(-1)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_droid_t_max_analytic_generation():
+    """With the exact conditional-expectation field for Gaussian data, the
+    droid-VE convention (network time s in [0,1], physical time s*t_max,
+    drift t_max*E[z|y], prior t_max*N(0,1)) transports the prior to the data
+    distribution. Validates the sampling convention behind droid_t_max."""
+    import numpy as np
+    from particle_fm_tpu.samplers.ode import odeint_fixed
+
+    mu, s_data, t_max = 1.5, 0.5, 10.0
+
+    def drift(s, y):
+        t_phys = s * t_max
+        ez = t_phys * (y - mu) / (s_data**2 + t_phys**2)  # E[z | y_s = y]
+        return t_max * ez
+
+    z = t_max * jax.random.normal(jax.random.PRNGKey(0), (4096, 1))
+    x = odeint_fixed(drift, z, t0=1.0, t1=0.0, ode_steps=201, method="midpoint")
+    assert abs(float(x.mean()) - mu) < 0.1, float(x.mean())
+    assert abs(float(x.std()) - s_data) < 0.1, float(x.std())
+
+
+def test_droid_t_max_default_matches_reference_formula():
+    """t_max=1.0 (default) reproduces the exact reference droid loss."""
+    from particle_fm_tpu.losses.flow_matching import droid_loss
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 6, 3))
+    mask = jnp.ones((8, 6, 1))
+    vf = lambda t, y, cond, m: 0.5 * y
+    a = droid_loss(vf, jax.random.PRNGKey(2), x, mask)
+    b = droid_loss(vf, jax.random.PRNGKey(2), x, mask, t_max=1.0)
+    assert float(a) == float(b)
+
+
+def test_droid_t_max_log_prob_guarded():
+    from particle_fm_tpu.models.flow_matching import FlowMatchingModel
+
+    model = FlowMatchingModel(
+        model="epic", features=2, num_particles=4, hidden_dim=8, latent=4,
+        layers=1, frequencies=4, loss_type="droid", droid_t_max=10.0,
+    )
+    variables = model.init(jax.random.PRNGKey(0))
+    x = model.sample(variables, jax.random.PRNGKey(1), n_samples=2)
+    assert x.shape == (2, 4, 2) and bool(jnp.all(jnp.isfinite(x)))
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        model.log_prob(variables, x)
