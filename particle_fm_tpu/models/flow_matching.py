@@ -27,7 +27,7 @@ from particle_fm_tpu.models.cnf import CNFStack
 from particle_fm_tpu.samplers.ode import odeint_dopri5, odeint_fixed
 from particle_fm_tpu.samplers.sde import ddim_sampler, euler_maruyama_sampler
 
-_FIXED_SOLVERS = ("euler", "midpoint", "heun", "rk4")
+_FIXED_SOLVERS = ("euler", "midpoint", "heun", "rk4", "ab2", "ab3")
 
 
 @dataclasses.dataclass(eq=False)  # identity hash: instances are static under jit

@@ -70,6 +70,8 @@ def odeint_fixed(
     method: str = "midpoint",
 ) -> jnp.ndarray:
     """Integrate dx/dt = f(t, x) from t0 to t1 with `ode_steps - 1` uniform steps."""
+    if method in ("ab2", "ab3"):
+        return _odeint_adams(f, x0, t0, t1, ode_steps, order=int(method[-1]))
     stepper = _STEPPERS[method]
     n = ode_steps - 1
     dt = (t1 - t0) / n
@@ -79,6 +81,51 @@ def odeint_fixed(
         return stepper(f, t, dt, x), None
 
     x, _ = jax.lax.scan(body, x0, jnp.arange(n))
+    return x
+
+
+def _odeint_adams(f: Drift, x0, t0, t1, ode_steps: int, order: int):
+    """Adams-Bashforth multistep (order 2 or 3): ONE drift eval per step
+    (midpoint costs two), reusing the history of previous evals —
+    2nd/3rd-order accuracy at euler's NFE. Beyond reference (torchdyn offers
+    no multistep); the training-free fast-solver idea follows the
+    multistep/previous-steps literature (e.g. arXiv:2411.07627). NFE for
+    `n = ode_steps - 1` steps: n (ab2, euler bootstrap) / n+1 (ab3,
+    midpoint bootstrap)."""
+    n = ode_steps - 1
+    dt = (t1 - t0) / n
+    dtc = jnp.asarray(dt, x0.dtype)
+
+    def t_at(k):
+        return t0 + k * dt
+
+    f0 = f(t_at(0), x0)
+    if order == 2:
+        # bootstrap step 0 with euler using f0 (no extra eval)
+        x1 = x0 + dtc * f0
+
+        def body(carry, k):
+            x, f_prev = carry
+            fk = f(t0 + k.astype(x0.dtype) * dt, x)
+            x_new = x + dtc * (1.5 * fk - 0.5 * f_prev)
+            return (x_new, fk), None
+
+        (x, _), _ = jax.lax.scan(body, (x1, f0), jnp.arange(1, n))
+        return x
+
+    # order 3: midpoint bootstrap for step 0 (one extra eval), AB2 for step 1
+    k1 = f(t_at(0.5), x0 + 0.5 * dtc * f0)
+    x1 = x0 + dtc * k1
+    f1 = f(t_at(1), x1)
+    x2 = x1 + dtc * (1.5 * f1 - 0.5 * f0)
+
+    def body(carry, k):
+        x, fm1, fm2 = carry
+        fk = f(t0 + k.astype(x0.dtype) * dt, x)
+        x_new = x + dtc * (23.0 / 12.0 * fk - 16.0 / 12.0 * fm1 + 5.0 / 12.0 * fm2)
+        return (x_new, fk, fm1), None
+
+    (x, _, _), _ = jax.lax.scan(body, (x2, f1, f0), jnp.arange(2, n))
     return x
 
 

@@ -152,3 +152,18 @@ def test_dopri5_per_sample_uncond_unmasked():
     )
     assert x.shape == (4, 6, 2)
     assert np.all(np.isfinite(np.asarray(x)))
+
+
+@pytest.mark.parametrize("method,steps,tol", [("ab2", 200, 1e-3), ("ab3", 100, 1e-4)])
+def test_adams_bashforth_accuracy(method, steps, tol):
+    x0 = jnp.ones((4, 3))
+    x1 = odeint_fixed(linear_drift, x0, t0=0.0, t1=1.0, ode_steps=steps, method=method)
+    np.testing.assert_allclose(np.asarray(x1), np.exp(-1.0), rtol=tol)
+
+
+@pytest.mark.parametrize("method", ["ab2", "ab3"])
+def test_adams_bashforth_time_dependent_reverse(method):
+    # dx/dt = -2t x integrated 1 -> 0: x(0) = x(1) * exp(1)
+    f = lambda t, x: -2.0 * t * x
+    x1 = odeint_fixed(f, jnp.ones((3,)), t0=1.0, t1=0.0, ode_steps=200, method=method)
+    np.testing.assert_allclose(np.asarray(x1), np.exp(1.0), rtol=1e-3)
