@@ -146,12 +146,13 @@ class CaloEvalCallback:
             out["w1_response"] = _hist_cdf_w1(
                 resp_r, resp_g, _np.linspace(lo, hi, int(nb) + 1)
             )
-        if self.make_plots:
+        base_dir = getattr(trainer, "artifacts_dir", trainer.log_dir or ".")
+        if self.make_plots and base_dir is not None:
             import os
 
             from particle_fm_tpu.eval.plotting import plot_calo_showers
 
-            out_dir = os.path.join(trainer.log_dir or ".", "callback_images")
+            out_dir = os.path.join(base_dir, "callback_images")
             plot_calo_showers(
                 gen_raw, mask[:n],
                 save_path=os.path.join(out_dir, f"showers_gen_epoch{trainer.epoch}.png"),
@@ -311,7 +312,8 @@ class FlatEvalCallback:
         metrics[f"{p}w1_features_mean"] = float(np.mean(w1s))
         if self.log_times:
             metrics[f"{p}generation_time"] = gen_time
-        if self.make_plots:
+        base_dir = getattr(trainer, "artifacts_dir", trainer.log_dir or ".")
+        if self.make_plots and base_dir is not None:
             import os
 
             from particle_fm_tpu.eval.plotting import plot_feature_ratios
@@ -329,7 +331,7 @@ class FlatEvalCallback:
                 real_p = _np.concatenate([cond_true, real_p], axis=1)
                 gen_p = _np.concatenate([cond_true, gen_p], axis=1)
                 lab_p = [f"cond_{i}" for i in range(cond_true.shape[1])] + lab_p
-            out_dir = os.path.join(trainer.log_dir or ".", "callback_images")
+            out_dir = os.path.join(base_dir, "callback_images")
             plot_feature_ratios(
                 real_p, gen_p,
                 os.path.join(out_dir, f"{p}features_epoch{trainer.epoch}.png"),
@@ -511,9 +513,14 @@ class FinalEvalCallback(JetNetEvalCallback):
             ode_solver=self.ode_solver,
             ode_steps=self.ode_steps,
         )
-        out_dir = self.save_dir or trainer.log_dir or "."
-        os.makedirs(out_dir, exist_ok=True)
-        np.save(os.path.join(out_dir, "final_generated_data.npy"), gen)
+        # None on non-rank-0 hosts: compute metrics everywhere (consistent
+        # control flow), write artifacts only on rank 0
+        out_dir = self.save_dir or getattr(
+            trainer, "artifacts_dir", trainer.log_dir or "."
+        )
+        if out_dir is not None:
+            os.makedirs(out_dir, exist_ok=True)
+            np.save(os.path.join(out_dir, "final_generated_data.npy"), gen)
 
         metrics = calculate_all_wasserstein_metrics(
             real[:n], gen, calculate_efps=self.calculate_efps, **self.w1_kwargs
@@ -530,7 +537,7 @@ class FinalEvalCallback(JetNetEvalCallback):
                 )
                 metrics[f"w1_{key}_mean"] = mean
                 metrics[f"w1_{key}_std"] = std
-            if self.make_plots:
+            if self.make_plots and out_dir is not None:
                 from particle_fm_tpu.eval.plotting import plot_substructure
 
                 plot_substructure(
@@ -552,7 +559,7 @@ class FinalEvalCallback(JetNetEvalCallback):
             metrics["kpd_median"] = kpd_med
             metrics["kpd_std"] = kpd_std
 
-        if self.make_plots:
+        if self.make_plots and out_dir is not None:
             from particle_fm_tpu.eval.plotting import (
                 plot_data,
                 plot_data_per_type,
@@ -575,10 +582,11 @@ class FinalEvalCallback(JetNetEvalCallback):
                     save_dir=out_dir,
                 )
 
-        import yaml
+        if out_dir is not None:
+            import yaml
 
-        with open(os.path.join(out_dir, "final_eval_metrics.yml"), "w") as f:
-            yaml.safe_dump({k: float(v) for k, v in metrics.items()}, f)
+            with open(os.path.join(out_dir, "final_eval_metrics.yml"), "w") as f:
+                yaml.safe_dump({k: float(v) for k, v in metrics.items()}, f)
         return metrics
 
 

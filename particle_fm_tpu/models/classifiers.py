@@ -105,14 +105,27 @@ class SetClassifierModel:
     def reinit_head(self, variables: dict, rng: jax.Array) -> dict:
         """Reinitialise the classification head, keeping the trunk — the
         fine-tune-from-pretrained hook (reference
-        jetclass_classifiers.py:250-263 reinitialise_fc)."""
+        jetclass_classifiers.py:250-263 reinitialise_fc).
+
+        Head modules per arch (trunk layers are left untouched):
+          epic:        fc_d1/fc_d2/fc_out (post-pooling discriminator MLP;
+                       fc_l*/fc_g* are input/global trunk embeds)
+          transformer: head (the output DenseNetwork)
+          particlenet: ParticleNet_0/head (nested below the net module)"""
         fresh = self.init(rng)["params"]
         params = dict(variables["params"])
-        head_keys = [k for k in params if k.startswith("head") or k.startswith("fc")]
-        if not head_keys and "net" in params:  # EPiC: final dense inside net
-            head_keys = [k for k in params if "out" in k.lower()]
-        for k in head_keys:
-            params[k] = fresh[k]
+        if self.arch == "particlenet":
+            net_key = next(k for k in params if "ParticleNet" in k)
+            inner = dict(params[net_key])
+            inner["head"] = fresh[net_key]["head"]
+            params[net_key] = inner
+        else:
+            head_keys = (
+                ("fc_d1", "fc_d2", "fc_out") if self.arch == "epic" else ("head",)
+            )
+            for k in head_keys:
+                if k in params:
+                    params[k] = fresh[k]
         out = dict(variables)
         out["params"] = params
         return out

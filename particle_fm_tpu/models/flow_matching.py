@@ -240,6 +240,12 @@ class FlowMatchingModel:
                 "the s=1 marginal is x + t_max*z, only approximately Gaussian"
             )
 
+        diff_sched = (
+            VPDiffusionSchedule(**dict(self.diff_config))
+            if self.loss_type == "diffusion"
+            else None
+        )
+
         def vf_single(k, t, xi, ci, mi):
             # single-sample vector field of flow k: (N, F) -> (N, F)
             out = self.module.apply(
@@ -250,8 +256,14 @@ class FlowMatchingModel:
                 cond=None if ci is None else ci[None],
                 mask=None if mi is None else mi[None],
                 method="flow_k",
-            )
-            return out[0]
+            )[0]
+            if diff_sched is not None:
+                # the network predicts noise; the density ODE must use the
+                # probability-flow drift (same transform as make_drift)
+                _, noise_rate = diff_sched(t)
+                beta = diff_sched.get_betas(t)
+                out = -0.5 * beta * (xi - out / noise_rate)
+            return out
 
         eps = None
         if not exact:

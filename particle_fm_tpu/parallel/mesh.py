@@ -41,8 +41,14 @@ def maybe_initialize_distributed(enable: bool | None = None) -> bool:
         enable = os.environ.get("PFM_MULTIHOST", "0") == "1"
     if not enable:
         return False
-    if jax.process_count() > 1:  # already initialized (idempotent)
-        return True
+    # Idempotency must NOT probe jax.process_count(): that call initializes
+    # the XLA backend, after which jax.distributed.initialize() raises
+    # ("must be called before any JAX calls"). Inspect the distributed
+    # client state directly instead.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return True  # already initialized
     jax.distributed.initialize()
     return True
 

@@ -103,6 +103,8 @@ def _odeint_adams(f: Drift, x0, t0, t1, ode_steps: int, order: int):
     if order == 2:
         # bootstrap step 0 with euler using f0 (no extra eval)
         x1 = x0 + dtc * f0
+        if n == 1:
+            return x1
 
         def body(carry, k):
             x, f_prev = carry
@@ -116,8 +118,12 @@ def _odeint_adams(f: Drift, x0, t0, t1, ode_steps: int, order: int):
     # order 3: midpoint bootstrap for step 0 (one extra eval), AB2 for step 1
     k1 = f(t_at(0.5), x0 + 0.5 * dtc * f0)
     x1 = x0 + dtc * k1
+    if n == 1:
+        return x1
     f1 = f(t_at(1), x1)
     x2 = x1 + dtc * (1.5 * f1 - 0.5 * f0)
+    if n == 2:
+        return x2
 
     def body(carry, k):
         x, fm1, fm2 = carry

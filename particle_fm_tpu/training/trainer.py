@@ -83,6 +83,12 @@ class Trainer:
             self.verbose = False
         if self.mesh is None:
             self.mesh = make_mesh()
+        # multi-host: callbacks still COMPUTE on every process (deterministic
+        # seeds keep metrics — and thus early-stopping control flow —
+        # identical across hosts) but only rank 0 writes artifact files;
+        # callbacks consult this instead of log_dir to avoid the "." fallback
+        # racing N hosts into the same cwd paths
+        self.artifacts_dir = (self.log_dir or ".") if self._rank0 else None
         self.train_step = make_train_step(
             self.model,
             self.optimizer,

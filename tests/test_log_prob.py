@@ -102,3 +102,29 @@ def test_log_prob_single_transform_flow_k_equivalence():
     full = model.module.apply(variables, t, x)
     single = model.module.apply(variables, 0, t, x, method="flow_k")
     np.testing.assert_allclose(np.asarray(full), np.asarray(single), atol=1e-6)
+
+
+def test_log_prob_diffusion_uses_pf_ode_drift():
+    """For loss_type=diffusion, log_prob must integrate the probability-flow
+    drift -0.5*beta*(x - eps/sigma), not the raw noise prediction. With a
+    perfect noise model for x ~ N(0,1) data (eps_hat = noise_rate*x under the
+    VP marginal... here: the trivial model eps_hat(t,x)=x*nr/(sr^2+nr^2)
+    isn't closed-form-simple, so instead check self-consistency: in-dist
+    points score higher than far-out points, and values are finite)."""
+    from particle_fm_tpu.models.flow_matching import FlowMatchingModel
+
+    model = FlowMatchingModel(
+        model="epic", features=2, num_particles=4, hidden_dim=8, latent=4,
+        layers=1, frequencies=4, loss_type="diffusion",
+        # the reference's experiment schedule (configs/model/diffusion.yaml):
+        # max_sr=1.0 would make noise_rate(0)=0 and the PF drift singular at
+        # the t=0 endpoint the density ODE starts from
+        diff_config={"max_sr": 0.999, "min_sr": 0.02},
+    )
+    variables = model.init(jax.random.PRNGKey(0))
+    x_in = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (3, 4, 2))
+    x_out = 50.0 + jnp.zeros((3, 4, 2))
+    lp_in = model.log_prob(variables, x_in, ode_steps=40)
+    lp_out = model.log_prob(variables, x_out, ode_steps=40)
+    assert np.all(np.isfinite(np.asarray(lp_in)))
+    assert float(lp_in.mean()) > float(lp_out.mean())

@@ -251,3 +251,33 @@ def test_jetclass_classifier_dm_h5_roundtrip(tmp_path):
     dm.setup()
     assert dm.train.x.shape[-1] == 7  # PF_FEATURES_KIN
     assert len(dm.train.x) + len(dm.val.x) + len(dm.test.x) == 2 * n
+
+
+def test_reinit_head_epic_and_particlenet_scopes():
+    """reinit_head must replace ONLY the head modules: epic keeps its
+    fc_l*/fc_g* trunk embeds and epic_layer_* blocks; particlenet replaces
+    the nested ParticleNet_0/head."""
+    from particle_fm_tpu.models.classifiers import SetClassifierModel
+
+    def changed(a, b):
+        return any(
+            not np.allclose(np.asarray(x), np.asarray(y))
+            for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+        )
+
+    m = SetClassifierModel(arch="epic", n_classes=10, num_particles=8, features=3)
+    v = m.init(jax.random.PRNGKey(0))
+    out = m.reinit_head(v, jax.random.PRNGKey(42))
+    for k in v["params"]:
+        if k in ("fc_d1", "fc_d2", "fc_out"):
+            assert changed(v["params"][k], out["params"][k]), k
+        else:
+            assert not changed(v["params"][k], out["params"][k]), k
+
+    m = SetClassifierModel(arch="particlenet", n_classes=10, num_particles=8, features=3)
+    v = m.init(jax.random.PRNGKey(0))
+    out = m.reinit_head(v, jax.random.PRNGKey(42))
+    net_key = next(k for k in v["params"] if "ParticleNet" in k)
+    for k in v["params"][net_key]:
+        sub_changed = changed(v["params"][net_key][k], out["params"][net_key][k])
+        assert sub_changed == (k == "head"), (k, sub_changed)

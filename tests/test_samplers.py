@@ -167,3 +167,14 @@ def test_adams_bashforth_time_dependent_reverse(method):
     f = lambda t, x: -2.0 * t * x
     x1 = odeint_fixed(f, jnp.ones((3,)), t0=1.0, t1=0.0, ode_steps=200, method=method)
     np.testing.assert_allclose(np.asarray(x1), np.exp(1.0), rtol=1e-3)
+
+
+@pytest.mark.parametrize("method", ["ab2", "ab3"])
+def test_adams_bashforth_minimal_steps_no_overshoot(method):
+    # ode_steps=2 (a single step) must integrate exactly one span: for
+    # dx/dt = 1 from 0 to 1 the answer is 1.0, not 2.0 (bootstrap overshoot)
+    f = lambda t, x: jnp.ones_like(x)
+    x1 = odeint_fixed(f, jnp.zeros((2,)), t0=0.0, t1=1.0, ode_steps=2, method=method)
+    np.testing.assert_allclose(np.asarray(x1), 1.0, rtol=1e-6)
+    x3 = odeint_fixed(f, jnp.zeros((2,)), t0=0.0, t1=1.0, ode_steps=3, method=method)
+    np.testing.assert_allclose(np.asarray(x3), 1.0, rtol=1e-6)
