@@ -7,7 +7,11 @@ synchronization disaster, so we provide two jit-compatible strategies:
 
   - "sinkhorn": log-domain Sinkhorn on device (default). With uniform
     marginals and small regularization the plan concentrates on the optimal
-    permutation; we harden it with a row-argmax. Fully on-TPU and batched.
+    permutation; we harden it into a TRUE permutation by greedy masked
+    argmax (N iterations of pick-global-max, mask row+col). Row-argmax alone
+    is NOT a permutation — collided rows drop some data particles entirely,
+    which systematically biases the per-set marginal (measured: W1M 3x worse
+    on an OT-CFM training run). Fully on-TPU and batched.
   - "exact": Hungarian assignment via `jax.pure_callback` into
     scipy.optimize.linear_sum_assignment (host). Exact but synchronous.
 
@@ -60,6 +64,31 @@ def sinkhorn_plan(
     return jnp.exp(log_k + f[:, :, None] + g[:, None, :])
 
 
+def greedy_perm_from_plan(plan: jnp.ndarray) -> jnp.ndarray:
+    """Harden a (B, N, M) transport plan into a true permutation (B, N):
+    N rounds of take-the-globally-largest-entry, then mask its row+column.
+    Deterministic, fully batched; near-optimal when the plan concentrates
+    (continuous costs). Guarantees every data index is used exactly once,
+    unlike per-row argmax (collisions bias the set marginal)."""
+    b, n, m = plan.shape
+    neg = jnp.asarray(-jnp.inf, plan.dtype)
+    rows = jnp.arange(b)
+
+    def body(state, _):
+        p, out = state
+        flat_idx = jnp.argmax(p.reshape(b, n * m), axis=-1)
+        i, j = flat_idx // m, flat_idx % m
+        out = out.at[rows, i].set(j.astype(jnp.int32))
+        p = p.at[rows, i, :].set(neg)
+        p = p.at[rows, :, j].set(neg)
+        return (p, out), None
+
+    (_, out), _ = jax.lax.scan(
+        body, (plan, jnp.zeros((b, n), jnp.int32)), None, length=n
+    )
+    return out
+
+
 def _hungarian_host(cost: np.ndarray) -> np.ndarray:
     from scipy.optimize import linear_sum_assignment
 
@@ -88,7 +117,7 @@ def ot_pair_indices(
     cost = cost / jnp.maximum(jnp.max(cost, axis=(1, 2), keepdims=True), 1e-12)
     if method == "sinkhorn":
         plan = sinkhorn_plan(cost, reg=reg, n_iters=n_iters)
-        return jnp.argmax(plan, axis=-1).astype(jnp.int32)
+        return greedy_perm_from_plan(plan)
     elif method == "exact":
         return jax.pure_callback(
             _hungarian_host,

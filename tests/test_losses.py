@@ -197,3 +197,30 @@ def test_droid_t_max_log_prob_guarded():
 
     with pytest.raises(NotImplementedError):
         model.log_prob(variables, x)
+
+
+def test_sinkhorn_pairing_is_a_permutation():
+    """The hardened Sinkhorn pairing must be a true permutation per set —
+    per-row argmax collides and drops data particles, biasing the marginal."""
+    from particle_fm_tpu.losses.ot import ot_pair_indices
+
+    rs = np.random.RandomState(0)
+    x0 = jnp.asarray(rs.randn(8, 24, 3).astype(np.float32))
+    x1 = jnp.asarray(rs.randn(8, 24, 3).astype(np.float32))
+    idx = np.asarray(ot_pair_indices(x0, x1, method="sinkhorn"))
+    for k in range(idx.shape[0]):
+        assert sorted(idx[k].tolist()) == list(range(24)), k
+
+
+def test_sinkhorn_pairing_reduces_cost():
+    """The OT permutation should cost no more than the identity pairing."""
+    from particle_fm_tpu.losses.ot import gather_particles, ot_pair_indices
+
+    rs = np.random.RandomState(1)
+    x0 = jnp.asarray(rs.randn(4, 16, 3).astype(np.float32))
+    x1 = jnp.asarray(rs.randn(4, 16, 3).astype(np.float32))
+    idx = ot_pair_indices(x0, x1, method="sinkhorn")
+    paired = gather_particles(x1, idx)
+    cost_ot = float(jnp.sum((x0 - paired) ** 2))
+    cost_id = float(jnp.sum((x0 - x1) ** 2))
+    assert cost_ot < cost_id
