@@ -422,6 +422,9 @@ class JetNetEvalCallback:
             pt_standardization=getattr(dm, "pt_standardization", False),
             ode_solver=self.ode_solver,
             ode_steps=self.ode_steps,
+            # fixed-size datasets (no mask): generate the DATA's set size, not
+            # the model default (guards a model/data num_particles mismatch)
+            num_points=int(real.shape[1]),
         )
         return real, gen, n, gen_time
 

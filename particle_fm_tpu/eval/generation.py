@@ -42,10 +42,16 @@ def generate_data(
     ode_steps: int = 100,
     seed: int = 0,
     scaler=None,
+    num_points: int | None = None,
 ) -> tuple[np.ndarray, float]:
     """Sample num_jet_samples sets; returns (data (S, N, F), generation_time).
 
-    generation_time excludes the first batch (compile/warm-up)."""
+    generation_time excludes the first batch (compile/warm-up). `num_points`
+    pins the generated set size when no mask is used (fixed-size datasets);
+    without it the model's own num_particles applies, which silently
+    mismatches the data when an experiment config leaves the model at its
+    default (observed: 150-particle jets against 30-particle data -> W1M
+    off by two orders of magnitude)."""
     if variable_set_sizes and mask is None:
         raise ValueError("Please use mask when using variable_set_sizes=True")
     if mask is not None and len(mask) != num_jet_samples:
@@ -69,6 +75,7 @@ def generate_data(
             mask=mask_batch,
             ode_solver=ode_solver,
             ode_steps=ode_steps,
+            num_points=num_points,
         )
 
     n_batches = int(np.ceil(num_jet_samples / batch_size))

@@ -263,3 +263,26 @@ def test_train_cli_gen_challenge(tmp_path):
 
     run_dirs = g.glob(f"{tmp_path}/run/*")
     assert g.glob(os.path.join(run_dirs[0], "callback_images", "*features_epoch*.png"))
+
+
+@pytest.mark.parametrize(
+    "exp",
+    [
+        os.path.relpath(p, os.path.join(CONFIG_DIR, "experiment"))[:-5]
+        for p in glob.glob(os.path.join(CONFIG_DIR, "experiment", "**", "*.yaml"), recursive=True)
+    ],
+)
+def test_model_and_data_set_sizes_agree(exp):
+    """A model left at its default num_particles against differently-sized
+    data silently generates the wrong set size during unmasked sampling
+    (observed: 150-particle jets vs 30-particle data -> W1M off by 100x)."""
+    cfg = compose(CONFIG_DIR, "train", [f"experiment={exp}"])
+    m = cfg.get("model") or {}
+    d = cfg.get("data") or {}
+    if "FlowMatchingModel" not in str(m.get("_target_", "")):
+        return
+    dn = d.get("num_particles")
+    if dn is None:
+        return
+    effective = m.get("num_particles", 150)
+    assert effective == dn, (exp, effective, dn)
