@@ -48,10 +48,19 @@ def synthetic_jetclass_file(path: str, num_jets: int = 1000, num_particles: int 
 
     rs = np.random.RandomState(seed)
     n = num_jets
-    mult = rs.randint(4, num_particles + 1, size=n)
-    mask = (np.arange(num_particles)[None, :] < mult[:, None]).astype(np.float32)
-    feats = rs.randn(n, num_particles, 3).astype(np.float32) * mask[..., None]
     types = rs.randint(0, num_types, size=n)
+    # class-dependent structure so classifier tests/demos can actually learn:
+    # each type shifts the multiplicity distribution and the (eta, phi, pt)
+    # spread — crude analogues of prong structure in the real dataset
+    mult_lo = 4 + 2 * (types % 3)
+    mult = np.minimum(
+        rs.randint(0, num_particles - 3, size=n) + mult_lo, num_particles
+    )
+    mask = (np.arange(num_particles)[None, :] < mult[:, None]).astype(np.float32)
+    spread = (1.0 + 0.15 * types)[:, None, None]
+    shift = (0.1 * types)[:, None, None]
+    feats = (rs.randn(n, num_particles, 3) * spread + shift).astype(np.float32)
+    feats *= mask[..., None]
     jet_features = np.stack(
         [
             rs.uniform(400, 1000, n),          # jet_pt
