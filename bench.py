@@ -167,6 +167,32 @@ def main():
     # secondary: NFE=198 (round-1 setting, ode_steps=100)
     jets_198, _ = measure(100)
 
+    # training throughput (secondary key): full jitted step — loss, grads,
+    # AdamW, EMA — on the same model/batch geometry, fp32 params
+    def measure_train():
+        from particle_fm_tpu.parallel.train import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        opt = make_optimizer(lr=1e-3)
+        state = create_train_state(model, jax.random.PRNGKey(0), opt)
+        step = make_train_step(model, opt)
+        x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 150, 3))
+        mask_b = jnp.ones((BATCH, 150, 1))
+        for i in range(2):  # compile + first-execution warm-up
+            state, loss = step(state, jax.random.PRNGKey(2 + i), x, mask_b, None)
+        float(loss)
+        t0 = time.perf_counter()
+        n_steps = 20
+        for i in range(n_steps):
+            state, loss = step(state, jax.random.PRNGKey(10 + i), x, mask_b, None)
+        float(loss)  # host fence
+        return BATCH * n_steps / (time.perf_counter() - t0)
+
+    train_jets = measure_train()
+
     del run_100
     flops_per_jet, flops_src = _flops_per_jet(model, variables, nfe=100)
     peak = _peak_tflops()
@@ -180,6 +206,7 @@ def main():
                 "unit": "jets/s/chip",
                 "vs_baseline": round(jets_100 / BASELINE_JETS_PER_SEC_NFE100, 3),
                 "nfe198_jets_per_sec": round(jets_198, 2),
+                "train_jets_per_sec": round(train_jets, 2),
                 "flops_per_jet_nfe100": round(flops_per_jet),
                 "flops_source": flops_src,
                 "achieved_tflops": round(achieved_tflops, 3),
