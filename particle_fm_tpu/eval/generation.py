@@ -51,9 +51,14 @@ def generate_data(
     without it the model's own num_particles applies, which silently
     mismatches the data when an experiment config leaves the model at its
     default (observed: 150-particle jets against 30-particle data -> W1M
-    off by two orders of magnitude)."""
+    off by two orders of magnitude). When a mask is supplied but
+    variable_set_sizes is False (fixed-size data with padding masks), the
+    mask's particle axis is used as the set size automatically — every call
+    site is guarded, not just the ones that pass num_points."""
     if variable_set_sizes and mask is None:
         raise ValueError("Please use mask when using variable_set_sizes=True")
+    if num_points is None and mask is not None:
+        num_points = int(mask.shape[1])
     if mask is not None and len(mask) != num_jet_samples:
         raise ValueError(
             f"Mask should have the same length as num_jet_samples "

@@ -65,28 +65,42 @@ def sinkhorn_plan(
 
 
 def greedy_perm_from_plan(plan: jnp.ndarray) -> jnp.ndarray:
-    """Harden a (B, N, M) transport plan into a true permutation (B, N):
-    N rounds of take-the-globally-largest-entry, then mask its row+column.
-    Deterministic, fully batched; near-optimal when the plan concentrates
-    (continuous costs). Guarantees every data index is used exactly once,
-    unlike per-row argmax (collisions bias the set marginal)."""
+    """Harden a square (B, N, N) transport plan into a true permutation
+    (B, N). Fast path: per-row argmax, accepted when it already IS a
+    permutation for every set (the common case for sharp Sinkhorn plans).
+    Fallback (lax.cond, so it only executes when some set collides): N
+    rounds of take-the-globally-largest-entry then mask its row+column —
+    O(N^2 * N * B) plan reads, fine at <= a few hundred particles.
+    Guarantees every data index is used exactly once, unlike raw per-row
+    argmax (collisions drop data particles and bias the set marginal)."""
     b, n, m = plan.shape
+    if n != m:
+        raise ValueError(
+            f"greedy_perm_from_plan needs a square plan (got N={n}, M={m}): "
+            "a permutation between unequal-size sets does not exist"
+        )
     neg = jnp.asarray(-jnp.inf, plan.dtype)
     rows = jnp.arange(b)
 
-    def body(state, _):
-        p, out = state
-        flat_idx = jnp.argmax(p.reshape(b, n * m), axis=-1)
-        i, j = flat_idx // m, flat_idx % m
-        out = out.at[rows, i].set(j.astype(jnp.int32))
-        p = p.at[rows, i, :].set(neg)
-        p = p.at[rows, :, j].set(neg)
-        return (p, out), None
+    def greedy(p0):
+        def body(state, _):
+            p, out = state
+            flat_idx = jnp.argmax(p.reshape(b, n * m), axis=-1)
+            i, j = flat_idx // m, flat_idx % m
+            out = out.at[rows, i].set(j.astype(jnp.int32))
+            p = p.at[rows, i, :].set(neg)
+            p = p.at[rows, :, j].set(neg)
+            return (p, out), None
 
-    (_, out), _ = jax.lax.scan(
-        body, (plan, jnp.zeros((b, n), jnp.int32)), None, length=n
-    )
-    return out
+        (_, out), _ = jax.lax.scan(
+            body, (p0, jnp.zeros((b, n), jnp.int32)), None, length=n
+        )
+        return out
+
+    row = jnp.argmax(plan, axis=-1).astype(jnp.int32)
+    counts = jax.vmap(lambda r: jnp.bincount(r, length=m))(row)
+    is_perm = jnp.all(counts == 1)
+    return jax.lax.cond(is_perm, lambda p: row, greedy, plan)
 
 
 def _hungarian_host(cost: np.ndarray) -> np.ndarray:

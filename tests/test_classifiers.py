@@ -125,7 +125,7 @@ def test_logit_scaler_roundtrip():
     np.testing.assert_allclose(back, x, rtol=1e-5, atol=1e-6)
 
 
-def test_multiclass_jet_type_classification_learns():
+def test_multiclass_jet_type_classification_learns(tmp_path):
     """The JetClass-era multiclass path: with the class-dependent synthetic
     generator, a set classifier must beat chance clearly on jet-type
     classification (reference jetclass_classifiers.py 10-class CE)."""
@@ -135,7 +135,7 @@ def test_multiclass_jet_type_classification_learns():
     from particle_fm_tpu.data.jetclass import synthetic_jetclass_file
     from particle_fm_tpu.models.classifiers import SetClassifierModel
 
-    path = "/tmp/jetclass_mc_test.h5"
+    path = str(tmp_path / "jetclass_mc_test.h5")
     synthetic_jetclass_file(path, num_jets=1200, num_particles=16, num_types=3, seed=3)
     with h5py.File(path, "r") as f:
         x = np.asarray(f["part_features"])

@@ -284,5 +284,8 @@ def test_model_and_data_set_sizes_agree(exp):
     dn = d.get("num_particles")
     if dn is None:
         return
-    effective = m.get("num_particles", 150)
+    from particle_fm_tpu.models.flow_matching import FlowMatchingModel
+
+    default_n = FlowMatchingModel.__dataclass_fields__["num_particles"].default
+    effective = m.get("num_particles", default_n)
     assert effective == dn, (exp, effective, dn)
