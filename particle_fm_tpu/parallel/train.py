@@ -64,20 +64,15 @@ def make_optimizer(
     return optax.chain(*txs)
 
 
-def make_train_step(
+def _build_step_fn(
     model,
     optimizer: optax.GradientTransformation,
     ema_decay: float = 0.999,
     ema_every_n: int = 1,
     ema_start_step: int = 0,
-    mesh=None,
-    sp: bool = False,
 ) -> Callable:
-    """Build `train_step(state, rng, x, mask, cond) -> (state, loss)` (jitted).
-
-    With `sp=True` the particle axis of x/mask additionally shards over the
-    'model' mesh axis (sequence parallelism; place batches with
-    shard_batch_sp) — XLA emits the psum for set-axis reductions."""
+    """The un-jitted training step body (shared by make_train_step and
+    make_train_epoch)."""
 
     def step_fn(state: TrainState, rng: jax.Array, x, mask, cond):
         rng = jax.random.fold_in(rng, state.step)
@@ -109,6 +104,28 @@ def make_train_step(
         )
         return new_state, loss
 
+    return step_fn
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    ema_decay: float = 0.999,
+    ema_every_n: int = 1,
+    ema_start_step: int = 0,
+    mesh=None,
+    sp: bool = False,
+) -> Callable:
+    """Build `train_step(state, rng, x, mask, cond) -> (state, loss)` (jitted).
+
+    With `sp=True` the particle axis of x/mask additionally shards over the
+    'model' mesh axis (sequence parallelism; place batches with
+    shard_batch_sp) — XLA emits the psum for set-axis reductions."""
+    step_fn = _build_step_fn(
+        model, optimizer, ema_decay=ema_decay, ema_every_n=ema_every_n,
+        ema_start_step=ema_start_step,
+    )
+
     if mesh is not None:
         repl = replicated(mesh)
         data = batch_sharding(mesh)
@@ -124,6 +141,48 @@ def make_train_step(
             donate_argnums=(0,),
         )
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_train_epoch(
+    model,
+    optimizer: optax.GradientTransformation,
+    ema_decay: float = 0.999,
+    ema_every_n: int = 1,
+    ema_start_step: int = 0,
+    mesh=None,
+) -> Callable:
+    """Build `train_epoch(state, rng, xs, ms, cs) -> (state, losses)`: a
+    whole epoch of K steps as ONE jitted lax.scan over stacked batches
+    (K, B, ...). On environments where every dispatch pays a large fixed
+    relay latency (axon: ~20-30 ms/call) this amortizes it over the epoch —
+    the same trick the scan-batched sampler uses (bench.py). The per-step
+    rng still varies via fold_in(rng, state.step) inside the step body."""
+    step_fn = _build_step_fn(
+        model, optimizer, ema_decay=ema_decay, ema_every_n=ema_every_n,
+        ema_start_step=ema_start_step,
+    )
+
+    def epoch_fn(state: TrainState, rng: jax.Array, xs, ms, cs):
+        def body(st, batch):
+            x, m, c = batch
+            st, loss = step_fn(st, rng, x, m, c)
+            return st, loss
+
+        state, losses = jax.lax.scan(body, state, (xs, ms, cs))
+        return state, losses
+
+    if mesh is not None:
+        repl = replicated(mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        stacked = NamedSharding(mesh, P(None, "data"))
+        return jax.jit(
+            epoch_fn,
+            in_shardings=(None, repl, stacked, stacked, stacked),
+            out_shardings=(None, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(epoch_fn, donate_argnums=(0,))
 
 
 def make_eval_step(model, mesh=None) -> Callable:

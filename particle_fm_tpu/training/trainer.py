@@ -25,6 +25,7 @@ from particle_fm_tpu.parallel.train import (
     TrainState,
     create_train_state,
     make_eval_step,
+    make_train_epoch,
     make_train_step,
 )
 from particle_fm_tpu.training.checkpoint import CheckpointManager
@@ -58,6 +59,10 @@ class Trainer:
     # split is < device_cache_limit_mb.
     cache_data_on_device: Optional[bool] = None
     device_cache_limit_mb: int = 2048
+    # run each epoch as ONE jitted lax.scan over its batches (requires the
+    # device cache): amortizes the fixed per-dispatch relay latency
+    # (~20-30 ms on tunneled hosts) over the whole epoch
+    scan_epochs: bool = True
     seed: int = 0
     verbose: bool = True
     mesh: object = None
@@ -98,6 +103,18 @@ class Trainer:
             mesh=self.mesh,
         )
         self.eval_step = make_eval_step(self.model, mesh=self.mesh)
+        self.train_epoch = (
+            make_train_epoch(
+                self.model,
+                self.optimizer,
+                ema_decay=self.ema_decay,
+                ema_every_n=self.ema_every_n,
+                ema_start_step=self.ema_start_step,
+                mesh=self.mesh,
+            )
+            if self.scan_epochs
+            else None
+        )
         self.ckpt = (
             CheckpointManager(self.ckpt_dir, self.ckpt_monitors, self.ckpt_top_k)
             if self.ckpt_dir
@@ -173,11 +190,20 @@ class Trainer:
         for epoch in range(start_epoch, self.max_epochs):
             self.epoch = epoch
             t0 = time.perf_counter()
-            losses = []
-            for batch in self._epoch_batches(dev_data, epoch):
-                self.state, loss = self.train_step(self.state, rng, *batch)
-                losses.append(loss)
-            train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else np.nan
+            stacked = (
+                self._stack_epoch(dev_data, epoch)
+                if (self.train_epoch is not None and dev_data is not None)
+                else None
+            )
+            if stacked is not None:
+                self.state, losses_arr = self.train_epoch(self.state, rng, *stacked)
+                train_loss = float(np.mean(np.asarray(losses_arr)))
+            else:
+                losses = []
+                for batch in self._epoch_batches(dev_data, epoch):
+                    self.state, loss = self.train_step(self.state, rng, *batch)
+                    losses.append(loss)
+                train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else np.nan
             metrics = {"train_loss": train_loss, "epoch_time": time.perf_counter() - t0}
 
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
@@ -238,6 +264,31 @@ class Trainer:
                 split.cond[:n2] if split.cond is not None else None,
             )
         )
+
+    def _stack_epoch(self, dev_data, epoch: int):
+        """The epoch's shuffled batches as stacked (K, B, ...) device arrays
+        for the scanned epoch, or None when the split doesn't divide into
+        full batches (short-batch fallback uses the per-step loop)."""
+        bs = self.datamodule.batch_size
+        x, mask, cond = dev_data
+        n = x.shape[0]
+        n_use = n - (n % bs)
+        if n_use == 0:
+            return None
+        k = n_use // bs
+        perm = np.random.default_rng(self.seed + epoch).permutation(n)[:n_use]
+        perm_dev = shard_batch((jnp.asarray(perm),), self.mesh)[0]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        stacked_sh = NamedSharding(self.mesh, P(None, "data"))
+
+        def stack(a):
+            if a is None:
+                return None
+            g = jnp.take(a, perm_dev, axis=0).reshape((k, bs) + a.shape[1:])
+            return jax.device_put(g, stacked_sh)
+
+        return stack(x), stack(mask), stack(cond)
 
     def _epoch_batches(self, dev_data, epoch: int):
         """Sharded device batches for one epoch. With the device cache, the

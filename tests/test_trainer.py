@@ -126,3 +126,36 @@ def test_logging_schedules():
     assert should_log("custom10000epochs", 500)
     assert not should_log("custom10000epochs", 499)
     assert should_log("nolog10000", 200) and not should_log("nolog10000", 300)
+
+
+def test_scanned_epoch_matches_per_step_loop(tmp_path):
+    """scan_epochs=True (one jitted lax.scan per epoch) must be numerically
+    identical to the per-step dispatch loop: same shuffle, same step body,
+    same rng folding -> same losses and post-fit params."""
+    import jax.numpy as jnp
+
+    def run(scan, sub):
+        dm = JetNetDataModule(
+            jet_type=("t",), num_particles=8, batch_size=64,
+            synthetic=True, synthetic_num_jets=320,
+        )
+        dm.setup()
+        model = FlowMatchingModel(
+            model="epic", features=3, num_particles=8, hidden_dim=16, latent=4,
+            layers=1, frequencies=6, loss_type="CFM",
+            global_cond_dim=dm.num_cond_features,
+            local_cond_dim=dm.num_cond_features,
+        )
+        trainer = Trainer(
+            model=model, datamodule=dm, optimizer=make_optimizer(lr=1e-3),
+            max_epochs=2, callbacks=[], ckpt_dir=None,
+            log_dir=str(tmp_path / sub), verbose=False, scan_epochs=scan,
+        )
+        trainer.fit()
+        return trainer.last_metrics["train_loss"], jax.device_get(trainer.state.params)
+
+    loss_scan, p_scan = run(True, "a")
+    loss_loop, p_loop = run(False, "b")
+    np.testing.assert_allclose(loss_scan, loss_loop, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_scan), jax.tree_util.tree_leaves(p_loop)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
