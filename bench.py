@@ -167,29 +167,30 @@ def main():
     # secondary: NFE=198 (round-1 setting, ode_steps=100)
     jets_198, _ = measure(100)
 
-    # training throughput (secondary key): full jitted step — loss, grads,
-    # AdamW, EMA — on the same model/batch geometry, fp32 params
+    # training throughput (secondary key): the production scanned-epoch path
+    # (one jitted lax.scan over K full steps — loss, grads, AdamW, EMA)
     def measure_train():
         from particle_fm_tpu.parallel.train import (
             create_train_state,
             make_optimizer,
-            make_train_step,
+            make_train_epoch,
         )
 
+        k_steps = 20
         opt = make_optimizer(lr=1e-3)
         state = create_train_state(model, jax.random.PRNGKey(0), opt)
-        step = make_train_step(model, opt)
-        x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 150, 3))
-        mask_b = jnp.ones((BATCH, 150, 1))
+        epoch = make_train_epoch(model, opt)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (k_steps, BATCH, 150, 3))
+        ms = jnp.ones((k_steps, BATCH, 150, 1))
         for i in range(2):  # compile + first-execution warm-up
-            state, loss = step(state, jax.random.PRNGKey(2 + i), x, mask_b, None)
-        float(loss)
+            state, losses = epoch(state, jax.random.PRNGKey(2 + i), xs, ms, None)
+        float(jnp.sum(losses))
         t0 = time.perf_counter()
-        n_steps = 20
-        for i in range(n_steps):
-            state, loss = step(state, jax.random.PRNGKey(10 + i), x, mask_b, None)
-        float(loss)  # host fence
-        return BATCH * n_steps / (time.perf_counter() - t0)
+        n_epochs = 3
+        for i in range(n_epochs):
+            state, losses = epoch(state, jax.random.PRNGKey(10 + i), xs, ms, None)
+        float(jnp.sum(losses))  # host fence
+        return BATCH * k_steps * n_epochs / (time.perf_counter() - t0)
 
     train_jets = measure_train()
 
