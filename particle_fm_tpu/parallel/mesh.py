@@ -88,6 +88,13 @@ def shard_batch(batch, mesh: Mesh):
     )
 
 
+def stacked_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (K, B, ...) stacked-epoch batches: scan axis replicated,
+    batch axis over 'data'. Used by BOTH make_train_epoch's in_shardings and
+    the trainer's device placement — keep them coupled here."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def sp_sharding(mesh: Mesh) -> NamedSharding:
     """Sequence parallelism: shard (batch, particle) over ('data', 'model').
 

@@ -16,7 +16,12 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from particle_fm_tpu.parallel.mesh import batch_sharding, replicated, sp_sharding
+from particle_fm_tpu.parallel.mesh import (
+    batch_sharding,
+    replicated,
+    sp_sharding,
+    stacked_sharding,
+)
 from particle_fm_tpu.training.ema import ema_update
 
 
@@ -173,9 +178,7 @@ def make_train_epoch(
 
     if mesh is not None:
         repl = replicated(mesh)
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        stacked = NamedSharding(mesh, P(None, "data"))
+        stacked = stacked_sharding(mesh)
         return jax.jit(
             epoch_fn,
             in_shardings=(None, repl, stacked, stacked, stacked),

@@ -198,6 +198,9 @@ class Trainer:
             if stacked is not None:
                 self.state, losses_arr = self.train_epoch(self.state, rng, *stacked)
                 train_loss = float(np.mean(np.asarray(losses_arr)))
+                # release the epoch's stacked shuffle copy before validation/
+                # eval callbacks run (it is a second full-dataset HBM buffer)
+                del stacked
             else:
                 losses = []
                 for batch in self._epoch_batches(dev_data, epoch):
@@ -265,10 +268,19 @@ class Trainer:
             )
         )
 
+    def _epoch_perm(self, n: int, n_use: int, epoch: int):
+        """The epoch's shuffle as a sharded device index array. ONE shared
+        definition: the scanned-epoch and per-step paths must shuffle
+        bit-identically or scan-vs-loop numeric parity silently breaks."""
+        perm = np.random.default_rng(self.seed + epoch).permutation(n)[:n_use]
+        return shard_batch((jnp.asarray(perm),), self.mesh)[0]
+
     def _stack_epoch(self, dev_data, epoch: int):
         """The epoch's shuffled batches as stacked (K, B, ...) device arrays
-        for the scanned epoch, or None when the split doesn't divide into
-        full batches (short-batch fallback uses the per-step loop)."""
+        for the scanned epoch. Returns None only when the split has no full
+        batch at all (the per-step loop's short-batch fallback handles that);
+        otherwise the `n % batch_size` remainder is dropped, exactly like the
+        per-step device path."""
         bs = self.datamodule.batch_size
         x, mask, cond = dev_data
         n = x.shape[0]
@@ -276,11 +288,10 @@ class Trainer:
         if n_use == 0:
             return None
         k = n_use // bs
-        perm = np.random.default_rng(self.seed + epoch).permutation(n)[:n_use]
-        perm_dev = shard_batch((jnp.asarray(perm),), self.mesh)[0]
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        perm_dev = self._epoch_perm(n, n_use, epoch)
+        from particle_fm_tpu.parallel.mesh import stacked_sharding
 
-        stacked_sh = NamedSharding(self.mesh, P(None, "data"))
+        stacked_sh = stacked_sharding(self.mesh)
 
         def stack(a):
             if a is None:
@@ -307,8 +318,7 @@ class Trainer:
             # yielding nothing (NaN epoch loss); round down to the mesh size
             bs = max(n - (n % self.mesh.shape["data"]), self.mesh.shape["data"])
             n_use = min(bs, n)
-        perm = np.random.default_rng(self.seed + epoch).permutation(n)[:n_use]
-        perm_dev = shard_batch((jnp.asarray(perm),), self.mesh)[0]
+        perm_dev = self._epoch_perm(n, n_use, epoch)
         xs = jnp.take(x, perm_dev, axis=0)
         ms = jnp.take(mask, perm_dev, axis=0) if mask is not None else None
         cs = jnp.take(cond, perm_dev, axis=0) if cond is not None else None
