@@ -28,7 +28,9 @@ def evaluate(run_dir: str, ckpt: str = "best", overrides: dict | None = None) ->
         parts = k.split(".")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = v
+        # CLI values arrive as strings; parse like the train CLI's dotlist
+        # (yaml scalar rules: ints, floats, bools, null, strings)
+        node[parts[-1]] = yaml.safe_load(v) if isinstance(v, str) else v
 
     dm = instantiate(cfg["data"])
     dm.setup()

@@ -156,7 +156,16 @@ def test_train_cli_smoke(tmp_path):
     assert os.path.exists(os.path.join(run_dirs[0], "config.yaml"))
     from particle_fm_tpu.evaluate import evaluate
 
-    results = evaluate(run_dirs[0], ckpt="last")
+    # CLI-style STRING overrides must be yaml-coerced (evaluate's main()
+    # passes raw "key=value" strings; "64" < 0 raised TypeError before)
+    results = evaluate(
+        run_dirs[0],
+        ckpt="last",
+        overrides={
+            "callbacks.jetnet_eval.num_jet_samples": "64",
+            "callbacks.jetnet_eval.ode_steps": "4",
+        },
+    )
     assert "w1m_mean" in results
     assert os.path.exists(os.path.join(run_dirs[0], "final_eval_metrics.yaml"))
 
