@@ -51,6 +51,13 @@ def _sample_t(rng, batch: int, dtype) -> jnp.ndarray:
     return jax.random.uniform(rng, (batch,), dtype=dtype)
 
 
+def _normal(rng, shape, dtype) -> jnp.ndarray:
+    """Standard-normal draw. Module-level so parity tests can pin the noise
+    (tests/test_torch_parity.py monkeypatches _sample_t/_normal to replay the
+    exact tensors fed to the executed torch reference losses)."""
+    return jax.random.normal(rng, shape, dtype)
+
+
 def _tb(t: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Broadcast per-sample t to x's rank: (B,) -> (B, 1, ..., 1)."""
     return t.reshape((t.shape[0],) + (1,) * (x.ndim - 1))
@@ -71,7 +78,7 @@ def fm_ot_loss(
     rng_t, rng_z = jax.random.split(rng)
     t = _sample_t(rng_t, x.shape[0], x.dtype)
     tb = _tb(t, x)
-    z = jax.random.normal(rng_z, x.shape, x.dtype)
+    z = _normal(rng_z, x.shape, x.dtype)
     y = (1.0 - tb) * x + (sigma + (1.0 - sigma) * tb) * z
     u = ((1.0 - sigma) * z - x) * mask
     v = vf(t, y, cond, mask)
@@ -93,10 +100,10 @@ def cfm_loss(
     rng_t, rng_0, rng_eps = jax.random.split(rng, 3)
     t = _sample_t(rng_t, x.shape[0], x.dtype)
     tb = _tb(t, x)
-    x0 = jax.random.normal(rng_0, x.shape, x.dtype)  # prior sample
+    x0 = _normal(rng_0, x.shape, x.dtype)  # prior sample
     x1 = x
     mu_t = (1.0 - tb) * x1 + tb * x0
-    y = mu_t + sigma * jax.random.normal(rng_eps, x.shape, x.dtype)
+    y = mu_t + sigma * _normal(rng_eps, x.shape, x.dtype)
     u = (x0 - x1) * mask
     v = vf(t, y, cond, mask)
     return _reduce(_criterion(v, u, criterion), mask)
@@ -125,13 +132,13 @@ def cfm_ot_loss(
     rng_t, rng_0, rng_eps = jax.random.split(rng, 3)
     t = _sample_t(rng_t, x.shape[0], x.dtype)
     tb = _tb(t, x)
-    x0 = jax.random.normal(rng_0, x.shape, x.dtype)
+    x0 = _normal(rng_0, x.shape, x.dtype)
     x1 = x
     j = ot_pair_indices(x0, x1, method=ot_method, reg=ot_reg, n_iters=ot_iters)
     x1p = gather_particles(x1, j)
     mask_ot = gather_particles(mask, j)
     mu_t = x0 * tb + x1p * (1.0 - tb)
-    y = mu_t + sigma * jax.random.normal(rng_eps, x.shape, x.dtype)
+    y = mu_t + sigma * _normal(rng_eps, x.shape, x.dtype)
     u = (x0 - x1p) * mask_ot
     v = vf(t, y, cond, mask_ot)
     return _reduce(_criterion(v, u, criterion), mask)
@@ -153,7 +160,7 @@ def diffusion_loss(
     rng_t, rng_z = jax.random.split(rng)
     t = _sample_t(rng_t, x.shape[0], x.dtype)
     tb = _tb(t, x)
-    z = jax.random.normal(rng_z, x.shape, x.dtype) * mask
+    z = _normal(rng_z, x.shape, x.dtype) * mask
     signal_rates, noise_rates = schedule(tb)
     noisy = signal_rates * x + noise_rates * z
     pred = vf(t, noisy, cond, mask)
@@ -191,7 +198,7 @@ def droid_loss(
     rng_t, rng_z = jax.random.split(rng)
     t = _sample_t(rng_t, x.shape[0], x.dtype)
     tb = _tb(t, x) * t_max
-    z = jax.random.normal(rng_z, x.shape, x.dtype)
+    z = _normal(rng_z, x.shape, x.dtype)
     y = x + tb * z
     u = z * mask
     v = vf(t, y, cond, mask)

@@ -51,7 +51,7 @@ class MDMABlock(nn.Module):
         if self.local_cat_cond:
             x = cat(x, jnp.broadcast_to(cond[..., -1:], x.shape[:-1] + (1,)))
         x = dense(self.hidden, "fc0")(act(x))
-        x_cls = nn.LayerNorm(dtype=self.dtype, name="ln")(dense(self.hidden, "fc0_cls")(act(x_cls)))
+        x_cls = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(dense(self.hidden, "fc0_cls")(act(x_cls)))
 
         # class token attends over particles (torch nn.MultiheadAttention equiv:
         # q/k/v projections + output projection)

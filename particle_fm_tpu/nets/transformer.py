@@ -17,7 +17,9 @@ droid_transformer.py, itself adapted from rodem-hep/pcdroid):
     context injection ("lrlu" = LeakyReLU(0.1)).
 
 All attention runs through ops/attention.masked_attention (bf16 matmuls on
-the MXU, f32 softmax).
+the MXU, f32 softmax). LayerNorms use epsilon=1e-5 (torch's default) so the
+weight-transplant goldens in tests/test_torch_parity.py match the executed
+reference to float precision.
 """
 
 from __future__ import annotations
@@ -74,7 +76,7 @@ class MLPBlock(nn.Module):
             if self.act != "none":
                 x = get_act(self.act)(x)
             if self.nrm == "layer":
-                x = nn.LayerNorm(dtype=self.dtype, name=f"nrm_{n}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"nrm_{n}")(x)
             elif self.nrm not in ("none",):
                 raise ValueError(f"No normalisation with name: {self.nrm}")
             if self.drp > 0:
@@ -203,7 +205,7 @@ class MultiHeadedAttentionBlock(nn.Module):
         if self.drp > 0:
             a_out = nn.Dropout(self.drp, deterministic=deterministic)(a_out)
         if self.do_layer_norm:
-            a_out = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(a_out)
+            a_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(a_out)
         return WNDense(
             self.model_dim,
             use_weight_norm=False,
@@ -224,7 +226,7 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, ctxt=None, attn_bias=None, deterministic=True):
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + MultiHeadedAttentionBlock(
             self.model_dim,
             do_selfattn=True,
@@ -232,7 +234,7 @@ class TransformerEncoderLayer(nn.Module):
             name="self_attn",
             **dict(self.mha_config),
         )(h, kv_mask=mask, attn_bias=attn_bias, deterministic=deterministic)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + DenseNetwork(
             outp_dim=self.model_dim,
             ctxt_dim=self.ctxt_dim,
@@ -254,8 +256,8 @@ class TransformerCrossAttentionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, q_seq, kv_seq, kv_mask=None, ctxt=None, deterministic=True):
-        kv_n = nn.LayerNorm(dtype=self.dtype, name="norm0")(kv_seq)
-        q_n = nn.LayerNorm(dtype=self.dtype, name="norm1")(q_seq)
+        kv_n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm0")(kv_seq)
+        q_n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(q_seq)
         q_seq = q_seq + MultiHeadedAttentionBlock(
             self.model_dim,
             do_selfattn=False,
@@ -263,7 +265,7 @@ class TransformerCrossAttentionLayer(nn.Module):
             name="cross_attn",
             **dict(self.mha_config),
         )(q_n, kv_n, kv_mask=kv_mask, deterministic=deterministic)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(q_seq)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(q_seq)
         q_seq = q_seq + DenseNetwork(
             outp_dim=self.model_dim,
             ctxt_dim=self.ctxt_dim,
@@ -295,7 +297,7 @@ class TransformerEncoder(nn.Module):
                 dtype=self.dtype,
                 name=f"layer_{i}",
             )(x, mask, ctxt, attn_bias, deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")(x)
 
 
 def _default_embd_dims(model_dim: int, *cfgs: dict) -> None:

@@ -1,0 +1,832 @@
+"""Executed-reference behavioral parity: weight-transplant goldens.
+
+These tests run the ACTUAL reference torch networks
+(/root/reference/particle_fm/models/components/{epic,droid_transformer,mdma,
+norm_layer}.py — importable standalone once `particle_fm.utils.pylogger` and
+`ot` are stubbed), transplant their weights into the flax twins (including
+the weight-norm g/v split and the split-Dense concat layout), and assert the
+forward outputs agree to ~1e-5 on masked inputs. A second group drives the
+real reference losses.py classes end to end with pinned randomness and
+compares the loss scalars against this repo's loss functions.
+
+This converts "same model family, TPU-native" from asserted to proven:
+silent architecture drift (residual placement, concat order, missed
+weight_norm) cannot pass these tests.
+
+Reference anchors:
+  EPiC_encoder                particle_fm/models/components/epic.py:206-391
+  FullTransformerEncoder      droid_transformer.py:440-548
+  FullCrossAttentionEncoder   droid_transformer.py:622-711
+  MDMA                        mdma.py:87-176
+  IterativeNormLayer          norm_layer.py:7-155
+  losses                      losses.py:16-342
+  CNF sincos time embedding   flow_matching_module.py:191-211
+"""
+
+from __future__ import annotations
+
+import importlib
+import logging
+import sys
+import types
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF_ROOT = Path("/root/reference/particle_fm")
+pytestmark = pytest.mark.skipif(
+    not REF_ROOT.exists(), reason="reference checkout not available"
+)
+
+
+# ---------------------------------------------------------------------------
+# reference import scaffolding
+# ---------------------------------------------------------------------------
+
+
+def _install_reference_stubs() -> None:
+    """Make `particle_fm.models.components.*` importable from /root/reference.
+
+    The component modules only need `particle_fm.utils.pylogger.get_pylogger`
+    and the `ot` package (imported at losses.py top level); both are stubbed —
+    the stub `ot.emd` raises, so nothing silently uses it.
+    """
+    if "particle_fm" in sys.modules:
+        return
+    pkg = types.ModuleType("particle_fm")
+    pkg.__path__ = [str(REF_ROOT)]
+    sys.modules["particle_fm"] = pkg
+
+    utils = types.ModuleType("particle_fm.utils")
+    utils.__path__ = []
+    sys.modules["particle_fm.utils"] = utils
+    pylogger = types.ModuleType("particle_fm.utils.pylogger")
+    pylogger.get_pylogger = lambda name=None: logging.getLogger(name or "ref")
+    sys.modules["particle_fm.utils.pylogger"] = pylogger
+    utils.pylogger = pylogger
+
+    if "ot" not in sys.modules:
+        ot_stub = types.ModuleType("ot")
+        ot_stub.unif = lambda n: np.ones(n) / n
+
+        def _emd(*a, **k):
+            raise RuntimeError("ot.emd stub called — not expected in these tests")
+
+        ot_stub.emd = _emd
+        sys.modules["ot"] = ot_stub
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Namespace of imported reference modules (executed torch code)."""
+    _install_reference_stubs()
+    ns = types.SimpleNamespace()
+    ns.epic = importlib.import_module("particle_fm.models.components.epic")
+    ns.droid = importlib.import_module(
+        "particle_fm.models.components.droid_transformer"
+    )
+    ns.mdma = importlib.import_module("particle_fm.models.components.mdma")
+    ns.norm_layer = importlib.import_module("particle_fm.models.components.norm_layer")
+    ns.losses = importlib.import_module("particle_fm.models.components.losses")
+    torch.manual_seed(0)
+    return ns
+
+
+# ---------------------------------------------------------------------------
+# weight-transplant helpers (torch -> flax param trees)
+# ---------------------------------------------------------------------------
+
+
+def _np(t: "torch.Tensor") -> np.ndarray:
+    return t.detach().cpu().numpy()
+
+
+def wn_linear(lin: "torch.nn.Module") -> dict:
+    """torch weight_norm(nn.Linear) -> WNDense{kernel, g, bias}.
+
+    torch stores weight_v (out, in) and weight_g (out, 1) with dim=0 (norm
+    over the input axis per output row); WNDense stores kernel=(in, out) and
+    g=(out,) with the norm over axis 0 — a pure transpose.
+    """
+    return {
+        "kernel": _np(lin.weight_v).T,
+        "g": _np(lin.weight_g).reshape(-1),
+        "bias": _np(lin.bias),
+    }
+
+
+def plain_linear(lin: "torch.nn.Module") -> dict:
+    return {"kernel": _np(lin.weight).T, "bias": _np(lin.bias)}
+
+
+def layer_norm(ln: "torch.nn.Module") -> dict:
+    return {"scale": _np(ln.weight), "bias": _np(ln.bias)}
+
+
+def mlp_block(block: "torch.nn.Module") -> dict:
+    """Reference MLPBlock (droid_transformer.py:714-813) -> flax MLPBlock.
+
+    The torch block interleaves Linear/act/LayerNorm/Dropout in one
+    ModuleList; the flax twin names them lin_{n} / nrm_{n}.
+    """
+    out, n_lin, n_nrm = {}, 0, 0
+    for m in block.block:
+        if isinstance(m, torch.nn.Linear):
+            out[f"lin_{n_lin}"] = plain_linear(m)
+            n_lin += 1
+        elif isinstance(m, torch.nn.LayerNorm):
+            out[f"nrm_{n_nrm}"] = layer_norm(m)
+            n_nrm += 1
+    return out
+
+
+def dense_network(dn: "torch.nn.Module") -> dict:
+    """Reference DenseNetwork (droid_transformer.py:828-981) -> flax twin."""
+    out = {"input_block": mlp_block(dn.input_block)}
+    for j, h in enumerate(dn.hidden_blocks):
+        out[f"hidden_block_{j}"] = mlp_block(h)
+    if dn.do_out:
+        out["output_block"] = mlp_block(dn.output_block)
+    return out
+
+
+def mha_block(mha: "torch.nn.Module") -> dict:
+    """Reference MultiHeadedAttentionBlock (droid_transformer.py:117-284)."""
+    out = {}
+    if mha.do_selfattn:
+        out["all_linear"] = plain_linear(mha.all_linear)
+    else:
+        out["q_linear"] = plain_linear(mha.q_linear)
+        out["k_linear"] = plain_linear(mha.k_linear)
+        out["v_linear"] = plain_linear(mha.v_linear)
+    out["out_linear"] = plain_linear(mha.out_linear)
+    if mha.do_layer_norm:
+        out["layer_norm"] = layer_norm(mha.layer_norm)
+    return out
+
+
+def epic_layer(layer: "torch.nn.Module") -> dict:
+    return {
+        "fc_global1": wn_linear(layer.fc_global1),
+        "fc_global2": wn_linear(layer.fc_global2),
+        "fc_local1": wn_linear(layer.fc_local1),
+        "fc_local2": wn_linear(layer.fc_local2),
+    }
+
+
+def epic_encoder(enc: "torch.nn.Module") -> dict:
+    out = {
+        "fc_l1": wn_linear(enc.fc_l1),
+        "fc_l2": wn_linear(enc.fc_l2),
+        "fc_g1": wn_linear(enc.fc_g1),
+        "fc_g2": wn_linear(enc.fc_g2),
+        "fc_l3": wn_linear(enc.fc_l3),
+    }
+    for i, layer in enumerate(enc.nn_list):
+        out[f"epic_layer_{i}"] = epic_layer(layer)
+    return out
+
+
+def enc_layer(layer: "torch.nn.Module") -> dict:
+    """Reference TransformerEncoderLayer -> flax twin."""
+    return {
+        "norm1": layer_norm(layer.norm1),
+        "norm2": layer_norm(layer.norm2),
+        "self_attn": mha_block(layer.self_attn),
+        "dense": dense_network(layer.dense),
+    }
+
+
+def cross_layer(layer: "torch.nn.Module") -> dict:
+    return {
+        "norm0": layer_norm(layer.norm0),
+        "norm1": layer_norm(layer.norm1),
+        "norm2": layer_norm(layer.norm2),
+        "cross_attn": mha_block(layer.cross_attn),
+        "dense": dense_network(layer.dense),
+    }
+
+
+def full_transformer(ft: "torch.nn.Module") -> dict:
+    te = {"final_norm": layer_norm(ft.te.final_norm)}
+    for i, layer in enumerate(ft.te.layers):
+        te[f"layer_{i}"] = enc_layer(layer)
+    out = {
+        "node_embd": dense_network(ft.node_embd),
+        "outp_embd": dense_network(ft.outp_embd),
+        "te": te,
+    }
+    if ft.ctxt_dim:
+        out["ctxt_embd"] = dense_network(ft.ctxt_emdb)
+    return out
+
+
+def full_crossattention(fc: "torch.nn.Module") -> dict:
+    cae = {"global_tokens": _np(fc.cae.global_tokens)}
+    for i, (fl, tl) in enumerate(zip(fc.cae.from_layers, fc.cae.to_layers)):
+        cae[f"from_layer_{i}"] = cross_layer(fl)
+        cae[f"to_layer_{i}"] = cross_layer(tl)
+    out = {
+        "node_embd": dense_network(fc.node_embd),
+        "outp_embd": dense_network(fc.outp_embd),
+        "cae": cae,
+    }
+    if fc.ctxt_dim:
+        out["ctxt_embd"] = dense_network(fc.ctxt_emdb)
+    return out
+
+
+def mdma_block(b: "torch.nn.Module") -> dict:
+    h = b.attn.embed_dim
+    in_w, in_b = _np(b.attn.in_proj_weight), _np(b.attn.in_proj_bias)
+    return {
+        "fc0": plain_linear(b.fc0),
+        "fc0_cls": plain_linear(b.fc0_cls),
+        "fc1": plain_linear(b.fc1),
+        "fc1_cls": plain_linear(b.fc1_cls),
+        "fc2_cls": plain_linear(b.fc2_cls),
+        "ln": layer_norm(b.ln),
+        "attn_q": {"kernel": in_w[:h].T, "bias": in_b[:h]},
+        "attn_k": {"kernel": in_w[h : 2 * h].T, "bias": in_b[h : 2 * h]},
+        "attn_v": {"kernel": in_w[2 * h :].T, "bias": in_b[2 * h :]},
+        "attn_out": plain_linear(b.attn.out_proj),
+    }
+
+
+def mdma_net(m: "torch.nn.Module") -> dict:
+    out = {
+        "embed": plain_linear(m.embed),
+        "embed_cls": plain_linear(m.embbed_cls),
+        "cond": plain_linear(m.cond),
+        "out": plain_linear(m.out),
+    }
+    for i, b in enumerate(m.encoder):
+        out[f"block_{i}"] = mdma_block(b)
+    return out
+
+
+def graft(template: dict, donor: dict, path: str = "") -> dict:
+    """Overlay donor arrays onto an init-produced param tree, shape-checked.
+
+    Every donor leaf must exist in the template with the same shape; every
+    template leaf must be covered by the donor (so nothing silently keeps its
+    random init)."""
+    assert set(donor) == set(template), (
+        f"param tree mismatch at {path or '<root>'}: "
+        f"only-in-flax={sorted(set(template) - set(donor))} "
+        f"only-in-torch={sorted(set(donor) - set(template))}"
+    )
+    out = {}
+    for k, v in donor.items():
+        if isinstance(v, dict):
+            out[k] = graft(template[k], v, f"{path}/{k}")
+        else:
+            assert template[k].shape == v.shape, (
+                f"shape mismatch at {path}/{k}: flax {template[k].shape} "
+                f"vs torch {v.shape}"
+            )
+            out[k] = jnp.asarray(v)
+    return out
+
+
+def assert_close(flax_out, torch_out, tol=2e-5, what=""):
+    a = np.asarray(flax_out, dtype=np.float64)
+    b = _np(torch_out).astype(np.float64)
+    assert a.shape == b.shape, (what, a.shape, b.shape)
+    scale = max(np.abs(b).max(), 1e-3)
+    err = np.abs(a - b).max() / scale
+    assert err < tol, f"{what}: max rel err {err:.2e} (tol {tol})"
+
+
+def _cloud(batch=4, n=10, feats=3, seed=0):
+    rs = np.random.RandomState(seed)
+    x = rs.randn(batch, n, feats).astype(np.float32)
+    n_valid = rs.randint(2, n + 1, size=batch)
+    mask = (np.arange(n)[None, :] < n_valid[:, None]).astype(np.float32)[..., None]
+    return x * mask, mask
+
+
+# ---------------------------------------------------------------------------
+# network forward parity
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("conditioned", [False, True], ids=["plain", "cond_t"])
+def test_epic_encoder_forward_parity(ref, conditioned):
+    """EPiC_encoder (epic.py:206-391) vs EPiCEncoder, weights transplanted."""
+    from particle_fm_tpu.nets.epic import EPiCEncoder
+
+    B, N, F, f = 4, 10, 3, 3
+    cond_dim = 2 if conditioned else 0
+    tcat = conditioned
+    x, mask = _cloud(B, N, F)
+    rs = np.random.RandomState(1)
+    t_emb = np.repeat(rs.rand(B, 1, 2 * f).astype(np.float32), N, axis=1)
+    cond = rs.randn(B, cond_dim).astype(np.float32) if conditioned else None
+
+    tnet = ref.epic.EPiC_encoder(
+        latent=8,
+        input_dim=F,
+        hid_d=16,
+        feats=F,
+        equiv_layers=2,
+        global_cond_dim=cond_dim,
+        local_cond_dim=cond_dim,
+        frequencies=f,
+        num_points=N,
+        t_local_cat=tcat,
+        t_global_cat=tcat,
+    ).eval()
+    with torch.no_grad():
+        t_ref = torch.from_numpy(t_emb) if tcat else None
+        c_ref = torch.from_numpy(cond) if conditioned else None
+        out_ref = tnet(t_ref, torch.from_numpy(x), c_ref, torch.from_numpy(mask))
+
+    jnet = EPiCEncoder(
+        feats=F,
+        hid_dim=16,
+        latent_dim=8,
+        equiv_layers=2,
+        global_cond_dim=cond_dim,
+        local_cond_dim=cond_dim,
+        t_local_cat=tcat,
+        t_global_cat=tcat,
+    )
+    import jax
+
+    args = (jnp.asarray(t_emb) if tcat else None, jnp.asarray(x),
+            jnp.asarray(cond) if conditioned else None, jnp.asarray(mask))
+    template = jnet.init(jax.random.PRNGKey(0), *args)["params"]
+    params = graft(jax.tree.map(lambda v: v, dict(template)), epic_encoder(tnet))
+    out = jnet.apply({"params": params}, *args)
+    assert_close(out, out_ref, what="EPiC_encoder forward")
+
+
+def test_full_transformer_forward_parity(ref):
+    """FullTransformerEncoder (droid_transformer.py:440-548) vs flax twin."""
+    from particle_fm_tpu.nets.transformer import FullTransformerEncoder
+
+    B, N, F, f, cond_dim, model_dim = 4, 10, 3, 2, 2, 16
+    x, mask = _cloud(B, N, F + 2 * f, seed=2)
+    rs = np.random.RandomState(3)
+    t_emb = np.repeat(rs.rand(B, 1, 2 * f).astype(np.float32), N, axis=1)
+    cond = rs.randn(B, cond_dim).astype(np.float32)
+    te_cfg = {
+        "model_dim": model_dim,
+        "num_layers": 2,
+        "mha_config": {"num_heads": 2, "do_layer_norm": True},
+        "dense_config": {"act_h": "lrlu", "nrm": "layer"},
+    }
+
+    tnet = ref.droid.FullTransformerEncoder(
+        inpt_dim=F + 2 * f,
+        outp_dim=F,
+        ctxt_dim=2 * f + cond_dim,
+        te_config=te_cfg,
+        node_embd_config={},
+        outp_embd_config={},
+        ctxt_embd_config={},
+    ).eval()
+    with torch.no_grad():
+        out_ref = tnet(
+            torch.from_numpy(t_emb),
+            torch.from_numpy(x),
+            torch.from_numpy(cond),
+            torch.from_numpy(mask),
+        )
+
+    jnet = FullTransformerEncoder(
+        outp_dim=F, ctxt_dim=2 * f + cond_dim, te_config=te_cfg
+    )
+    import jax
+
+    args = (jnp.asarray(t_emb), jnp.asarray(x), jnp.asarray(cond), jnp.asarray(mask))
+    template = jnet.init(jax.random.PRNGKey(0), *args)["params"]
+    params = graft(dict(template), full_transformer(tnet))
+    out = jnet.apply({"params": params}, *args)
+    assert_close(out, out_ref, what="FullTransformerEncoder forward")
+
+
+def test_full_crossattention_forward_parity(ref):
+    """FullCrossAttentionEncoder (droid_transformer.py:622-711) vs flax twin."""
+    from particle_fm_tpu.nets.transformer import FullCrossAttentionEncoder
+
+    B, N, F, f, cond_dim, model_dim = 4, 10, 3, 2, 2, 16
+    x, mask = _cloud(B, N, F + 2 * f, seed=4)
+    rs = np.random.RandomState(5)
+    t_emb = np.repeat(rs.rand(B, 1, 2 * f).astype(np.float32), N, axis=1)
+    cond = rs.randn(B, cond_dim).astype(np.float32)
+    cae_cfg = {
+        "model_dim": model_dim,
+        "num_tokens": 3,
+        "num_layers": 2,
+        "mha_config": {"num_heads": 2},
+        "dense_config": {},
+    }
+
+    tnet = ref.droid.FullCrossAttentionEncoder(
+        inpt_dim=F + 2 * f,
+        outp_dim=F,
+        ctxt_dim=2 * f + cond_dim,
+        cae_config=cae_cfg,
+        node_embd_config={},
+        outp_embd_config={},
+        ctxt_embd_config={},
+    ).eval()
+    with torch.no_grad():
+        out_ref = tnet(
+            torch.from_numpy(t_emb),
+            torch.from_numpy(x),
+            torch.from_numpy(cond),
+            torch.from_numpy(mask),
+        )
+
+    jnet = FullCrossAttentionEncoder(
+        outp_dim=F, ctxt_dim=2 * f + cond_dim, cae_config=cae_cfg
+    )
+    import jax
+
+    args = (jnp.asarray(t_emb), jnp.asarray(x), jnp.asarray(cond), jnp.asarray(mask))
+    template = jnet.init(jax.random.PRNGKey(0), *args)["params"]
+    params = graft(dict(template), full_crossattention(tnet))
+    out = jnet.apply({"params": params}, *args)
+    assert_close(out, out_ref, what="FullCrossAttentionEncoder forward")
+
+
+def test_mdma_forward_parity(ref):
+    """MDMA (mdma.py:87-176) vs flax twin, incl. nn.MultiheadAttention split."""
+    from particle_fm_tpu.nets.mdma import MDMA
+
+    B, N, F, f = 4, 10, 3, 3
+    x, mask = _cloud(B, N, F, seed=6)
+    rs = np.random.RandomState(7)
+    t_emb = np.repeat(rs.rand(B, 1, 2 * f).astype(np.float32), N, axis=1)
+
+    tnet = ref.mdma.MDMA(
+        latent=8,
+        input_dim=F,
+        hidden_dim=16,
+        layers=2,
+        num_heads=4,
+        frequencies=f,
+        global_cond_dim=0,
+        t_local_cat=True,
+        t_global_cat=True,
+        avg_n=30,
+    ).eval()
+    with torch.no_grad():
+        out_ref = tnet(
+            torch.from_numpy(t_emb), torch.from_numpy(x), None, torch.from_numpy(mask)
+        )
+
+    jnet = MDMA(
+        out_features=1,
+        latent=8,
+        hidden_dim=16,
+        layers=2,
+        num_heads=4,
+        frequencies=f,
+        t_local_cat=True,
+        t_global_cat=True,
+        avg_n=30,
+    )
+    import jax
+
+    args = (jnp.asarray(t_emb), jnp.asarray(x), None, jnp.asarray(mask))
+    template = jnet.init(jax.random.PRNGKey(0), *args)["params"]
+    params = graft(dict(template), mdma_net(tnet))
+    out = jnet.apply({"params": params}, *args)
+    assert_close(out, out_ref, what="MDMA forward")
+
+
+def test_iterative_norm_layer_parity(ref):
+    """IterativeNormLayer (norm_layer.py:7-155): fit/update/forward/reverse."""
+    import jax
+
+    from particle_fm_tpu.nets.norm_layer import IterativeNormLayer
+
+    F = 3
+    tlayer = ref.norm_layer.IterativeNormLayer(inpt_dim=F).train()
+    jlayer = IterativeNormLayer(inpt_dim=F)
+
+    x0, m0 = _cloud(6, 12, F, seed=10)
+    variables = jlayer.init(jax.random.PRNGKey(0), jnp.asarray(x0), jnp.asarray(m0))
+    state = {"norm_stats": variables["norm_stats"]}
+
+    outs_t, outs_j = [], []
+    for seed in (10, 11, 12):
+        x, m = _cloud(6, 12, F, seed=seed)
+        xt = torch.from_numpy(x)
+        mt = torch.from_numpy(m[..., 0]).bool()
+        with torch.no_grad():
+            outs_t.append(tlayer(xt, mt))
+        out_j, mutated = jlayer.apply(
+            state,
+            jnp.asarray(x),
+            jnp.asarray(m),
+            update_stats=True,
+            mutable=["norm_stats"],
+        )
+        state = dict(mutated)
+        outs_j.append(out_j)
+
+    stats = state["norm_stats"]
+    np.testing.assert_allclose(
+        np.asarray(stats["means"]), _np(tlayer.means).reshape(-1), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats["vars"]), _np(tlayer.vars).reshape(-1), rtol=1e-5, atol=1e-6
+    )
+    assert float(stats["n"]) == float(tlayer.n)
+    # outputs agree at real-particle positions on every step of the running fit
+    for step, (oj, ot) in enumerate(zip(outs_j, outs_t)):
+        assert_close(oj, ot, tol=1e-4, what=f"norm forward step {step}")
+
+    # reverse roundtrip against the torch reverse
+    x, m = _cloud(6, 12, F, seed=13)
+    with torch.no_grad():
+        rev_t = tlayer.reverse(torch.from_numpy(x), torch.from_numpy(m[..., 0]).bool())
+    rev_j = jlayer.apply(state, jnp.asarray(x), jnp.asarray(m), method=jlayer.reverse)
+    assert_close(rev_j, rev_t, tol=1e-4, what="norm reverse")
+
+
+# ---------------------------------------------------------------------------
+# executed-reference loss parity (pinned randomness, transplanted weights)
+# ---------------------------------------------------------------------------
+
+
+class _RefSincosCNF(torch.nn.Module):
+    """The reference CNF's sincos time path (flow_matching_module.py:191-211)
+    around an importable reference net: embed t -> concat to input -> net.
+
+    Only the CNF *class* is unimportable here (its module pulls in torchdyn/
+    zuko); this adapter re-states those 6 lines so the executed code driving
+    the loss comparison is otherwise 100% reference torch code.
+    """
+
+    def __init__(self, net: torch.nn.Module, frequencies: int):
+        super().__init__()
+        self.net = net
+        self.register_buffer(
+            "frequencies", 2 ** torch.arange(frequencies) * torch.pi
+        )
+
+    def forward(self, t, x, mask=None, cond=None):
+        t = self.frequencies * t[..., None]
+        t = torch.cat((t.cos(), t.sin()), dim=-1)
+        t = t.expand(*x.shape[:-1], -1)
+        x = torch.cat((t, x), dim=-1)
+        return self.net(t, x, cond, mask)
+
+
+def _pin_torch_randoms(monkeypatch, arrays):
+    queue = [torch.from_numpy(np.asarray(a)) for a in arrays]
+
+    def draw(like):
+        t = queue.pop(0)
+        assert t.shape == like.shape, (tuple(t.shape), tuple(like.shape))
+        return t.to(like.dtype)
+
+    monkeypatch.setattr(torch, "rand_like", draw)
+    monkeypatch.setattr(torch, "randn_like", draw)
+
+
+def _pin_jax_randoms(monkeypatch, arrays):
+    import particle_fm_tpu.losses.flow_matching as fm
+
+    queue = [jnp.asarray(a) for a in arrays]
+    monkeypatch.setattr(fm, "_sample_t", lambda rng, b, dt: queue.pop(0))
+    monkeypatch.setattr(fm, "_normal", lambda rng, shape, dt: queue.pop(0))
+
+
+@pytest.mark.parametrize(
+    "family", ["FM-OT", "CFM", "diffusion", "droid"]
+)
+def test_loss_parity_executed_reference(ref, family, monkeypatch):
+    """Reference loss classes (losses.py:16-342) vs this repo's loss fns,
+    same EPiC weights, same pinned t/noise draws -> same scalar."""
+    import jax
+
+    from particle_fm_tpu.losses.flow_matching import get_loss_fn
+    from particle_fm_tpu.models.cnf import CNF
+
+    B, N, F, f = 4, 10, 3, 3
+    x, mask = _cloud(B, N, F, seed=20)
+    rs = np.random.RandomState(21)
+
+    # pinned random draws, in each loss's draw order (t first, then noises)
+    t = rs.rand(B).astype(np.float32)
+    n_noise = 2 if family == "CFM" else 1
+    noises = [rs.randn(B, N, F).astype(np.float32) for _ in range(n_noise)]
+    draws = [t] + noises
+
+    tnet = ref.epic.EPiC_encoder(
+        latent=8,
+        input_dim=F + 2 * f,
+        hid_d=16,
+        feats=F,
+        equiv_layers=2,
+        frequencies=f,
+        num_points=N,
+    ).eval()
+    flows = torch.nn.ModuleList([_RefSincosCNF(tnet, f)])
+    diff_config = {"max_sr": 0.999, "min_sr": 0.02}
+    ref_loss = {
+        "FM-OT": lambda: ref.losses.FlowMatchingLoss(flows, sigma=1e-4),
+        "CFM": lambda: ref.losses.ConditionalFlowMatchingLoss(flows, sigma=1e-4),
+        "diffusion": lambda: ref.losses.DiffusionLoss(
+            flows, criterion="huber", diff_config=diff_config
+        ),
+        "droid": lambda: ref.losses.DroidLoss(flows),
+    }[family]().eval()
+
+    _pin_torch_randoms(monkeypatch, draws)
+    with torch.no_grad():
+        out_ref = ref_loss(torch.from_numpy(x), torch.from_numpy(mask))
+
+    cnf = CNF(model="epic", features=F, frequencies=f, hidden_dim=16, layers=2, latent=8)
+    args = (jnp.zeros((B,)), jnp.asarray(x), None, jnp.asarray(mask))
+    template = cnf.init(jax.random.PRNGKey(0), *args)["params"]
+    params = dict(template)
+    params["net"] = graft(dict(params["net"]), epic_encoder(tnet))
+    vf = lambda tt, y, cond, msk: cnf.apply({"params": params}, tt, y, cond, msk)
+
+    loss_fn = get_loss_fn(
+        family if family != "droid" else "droid",
+        sigma=1e-4,
+        criterion="huber" if family == "diffusion" else "mse",
+        diff_config=diff_config,
+    )
+    _pin_jax_randoms(monkeypatch, draws)
+    out = loss_fn(vf, jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask), None)
+
+    rel = abs(float(out) - float(out_ref)) / max(abs(float(out_ref)), 1e-8)
+    assert rel < 2e-5, f"{family}: jax {float(out):.8f} vs torch {float(out_ref):.8f}"
+
+
+def test_epic_discriminator2_trunk_parity(ref):
+    """EPiC_discriminator_2 (epic.py:776-964): the headless trunk returning
+    cat(scaled_sum, mean, global) — the building block of the hierarchical
+    discriminator — vs EPiCDiscriminator2, weights transplanted. The torch
+    module's fc_g3/fc_g4/out are dead parameters (constructed :869-873, never
+    used in forward), so they have no flax counterpart."""
+    import jax
+
+    from particle_fm_tpu.nets.epic import EPiCDiscriminator2
+
+    B, N, F = 4, 10, 3
+    x, mask = _cloud(B, N, F, seed=30)
+
+    tnet = ref.epic.EPiC_discriminator_2(
+        latent=8, input_dim=F, hid_d=16, equiv_layers=2, num_points=N
+    ).eval()
+    with torch.no_grad():
+        out_ref = tnet(None, torch.from_numpy(x), None, torch.from_numpy(mask))
+
+    jnet = EPiCDiscriminator2(hid_dim=16, latent_dim=8, equiv_layers=2)
+    args = (jnp.asarray(x), None, jnp.asarray(mask))
+    template = dict(jnet.init(jax.random.PRNGKey(0), *args)["params"])
+
+    donor = {
+        "fc_l1": wn_linear(tnet.fc_l1),
+        "fc_l2": wn_linear(tnet.fc_l2),
+        "fc_g1": wn_linear(tnet.fc_g1),
+        "fc_g2": wn_linear(tnet.fc_g2),
+    }
+    for i, layer in enumerate(tnet.nn_list):
+        donor[f"epic_layer_{i}"] = epic_layer(layer)
+    params = graft(template, donor)
+    out = jnet.apply({"params": params}, *args)
+    assert_close(out, out_ref, what="EPiC_discriminator_2 trunk forward")
+
+
+@pytest.fixture(scope="module")
+def ref_data_utils(ref):
+    """Reference data/components/utils.py, executed. energyflow and
+    jetnet.evaluation are stubbed — the package __init__ imports them, but
+    nothing driven here touches them (the stubs raise if called)."""
+    if "energyflow" not in sys.modules:
+        sys.modules["energyflow"] = types.ModuleType("energyflow")
+    if "jetnet" not in sys.modules:
+        jn = types.ModuleType("jetnet")
+        ev = types.ModuleType("jetnet.evaluation")
+
+        def _unavailable(*a, **k):
+            raise RuntimeError("jetnet stub called — not expected in these tests")
+
+        ev.w1m = ev.w1p = ev.w1efp = _unavailable
+        jn.evaluation = ev
+        sys.modules["jetnet"] = jn
+        sys.modules["jetnet.evaluation"] = ev
+    return importlib.import_module("particle_fm.data.components.utils")
+
+
+def _synthetic_particle_data(n=300, parts=30, seed=0):
+    """(B, N, 4) [etarel, phirel, ptrel, mask] + (B, 5) jet data, like the
+    jetnet package layout the reference datamodule consumes."""
+    rs = np.random.RandomState(seed)
+    x = rs.randn(n, parts, 3).astype(np.float32) * [0.1, 0.1, 0.05]
+    x[..., 2] = np.abs(x[..., 2])
+    n_valid = rs.randint(parts // 2, parts + 1, n)
+    m = (np.arange(parts)[None, :] < n_valid[:, None]).astype(np.float32)
+    pd_ = np.concatenate([x * m[..., None], m[..., None]], axis=-1)
+    jd = np.stack(
+        [rs.randint(0, 5, n).astype(np.float32),
+         rs.uniform(400, 1200, n), rs.randn(n) * 2,
+         rs.uniform(10, 200, n), n_valid.astype(np.float32)], axis=-1
+    ).astype(np.float32)
+    return pd_, jd
+
+
+def test_datamodule_mask_data_parity(ref_data_utils):
+    """mask_data (reference utils.py:108-158) executed vs data/utils.py —
+    both jet-size modes, including the mask>0 -> 1 re-binarization."""
+    from particle_fm_tpu.data import utils as my_utils
+
+    pd_, jd = _synthetic_particle_data()
+    # give some mask entries a non-binary positive value (the reference
+    # re-binarizes with mask[mask > 0] = 1)
+    pd_mod = pd_.copy()
+    pd_mod[:, 0, 3] *= 0.7
+
+    for variable in (True, False):
+        # variable=True: all jets, truncated, with the reference's
+        # mask>0 -> 1 re-binarization exercised via pd_mod's 0.7 entries;
+        # variable=False: keep only jets with exactly num_particles
+        # constituents — needs binary masks so the sum test can hit 30
+        src = pd_mod if variable else pd_
+        x_r, m_r, pdata_r, jd_r = ref_data_utils.mask_data(
+            src.copy(), jd.copy(), num_particles=30, variable_jet_sizes=variable
+        )
+        assert len(_np(x_r)), f"empty reference selection (variable={variable})"
+        x_m, m_m, pdata_m, jd_m = my_utils.mask_data(
+            src.copy(), jd.copy(), num_particles=30, variable_jet_sizes=variable
+        )
+        np.testing.assert_allclose(x_m, _np(x_r), rtol=1e-6,
+                                   err_msg=f"x (variable={variable})")
+        np.testing.assert_allclose(m_m, _np(m_r), rtol=1e-6,
+                                   err_msg=f"mask (variable={variable})")
+        np.testing.assert_allclose(jd_m, jd_r, rtol=1e-6)
+
+
+def test_datamodule_normalize_parity(ref_data_utils):
+    """normalize/inverse (utils.py:164-199) + the datamodule's masked-array
+    train statistics (jetnet_datamodule.py:240-244: np.ma mean/std over the
+    train split) executed vs masked_mean_std + normalize_tensor."""
+    from particle_fm_tpu.data.utils import (
+        inverse_normalize_tensor,
+        masked_mean_std,
+        normalize_tensor,
+    )
+
+    pd_, _ = _synthetic_particle_data(seed=1)
+    x, m = pd_[..., :3], pd_[..., 3:]
+
+    # reference stats: masked array over (jets, particles)
+    full_mask = np.ma.make_mask(np.repeat(m, 3, axis=-1) == 0, shrink=False)
+    x_ma = np.ma.masked_array(x, full_mask)
+    means_ref = np.ma.mean(x_ma, axis=(0, 1))
+    stds_ref = np.ma.std(x_ma, axis=(0, 1))
+    means_my, stds_my = masked_mean_std(x, m)
+    np.testing.assert_allclose(means_my, np.asarray(means_ref), rtol=1e-5)
+    np.testing.assert_allclose(stds_my, np.asarray(stds_ref), rtol=1e-4)
+
+    normed_ref = ref_data_utils.normalize_tensor(
+        np.ma.copy(x_ma), means_ref, stds_ref, sigma=5
+    )
+    normed_my = normalize_tensor(x.copy(), means_my, stds_my, 5)
+    np.testing.assert_allclose(
+        normed_my * m, np.asarray(normed_ref.filled(0)) * m, rtol=2e-4, atol=1e-5
+    )
+    back = inverse_normalize_tensor(normed_my.copy(), means_my, stds_my, 5)
+    np.testing.assert_allclose(back, x, rtol=1e-4, atol=1e-6)
+
+
+def test_datamodule_one_hot_and_base_dist_parity(ref_data_utils):
+    """one_hot_encode (utils.py:8-26) + get_base_distribution (:203-231)
+    executed vs the repo's versions."""
+    from particle_fm_tpu.data.utils import masked_mean_std, one_hot_encode
+
+    pd_, jd = _synthetic_particle_data(seed=2)
+    oh_ref = ref_data_utils.one_hot_encode(
+        jd.copy(), categories=[[0, 1, 2, 3, 4]], num_other_features=4
+    )
+    oh_my = one_hot_encode(jd.copy(), categories=(0, 1, 2, 3, 4), num_other_features=4)
+    np.testing.assert_allclose(oh_my, np.asarray(oh_ref), rtol=1e-6)
+
+    x, m = pd_[..., :3], pd_[..., 3:]
+    x_mean, x_cov = ref_data_utils.get_base_distribution(
+        torch.from_numpy(x), torch.from_numpy(m), use_calculated_base_distribution=True
+    )
+    means_my, stds_my = masked_mean_std(x, m)
+    np.testing.assert_allclose(means_my, _np(x_mean), rtol=1e-4, atol=1e-6)
+    # reference multiplies the whole cov by 5 when it reaches feature i==2
+    # (utils.py:224-226) and uses torch.std (ddof=1)
+    np.testing.assert_allclose(
+        stds_my * 5.0, _np(x_cov), rtol=2e-3,
+        err_msg="base-distribution stds (reference scales by 5 at i==2)",
+    )
