@@ -7,10 +7,12 @@ Parity:
     high-level features.
   - JetClassClassifier: models/jetclass_classifiers.py — the reference wraps
     ParticleTransformer/ParticleNet imported from the external weaver-core
-    package (hard-coded sys.path); here the transformer-based classifier is
-    built from the in-repo Normformer encoder + attention pooling, and the
-    EPiC classifier variant is native. 10-class CE with optional fine-tuning
-    (reinitialise the final head).
+    package (hard-coded sys.path); here arch="part" is a native ParT with the
+    defining pairwise interaction attention (nets/part.py; pair_input_dim=4,
+    pair_embed_dims=[64,64,64] like jetclass_classifiers.py:28-44),
+    arch="particlenet" is the kNN EdgeConv net, arch="transformer" a plain
+    Normformer baseline, and the EPiC classifier variant is native. CE loss
+    with optional fine-tuning (reinitialise the final head).
 
 All expose the Trainer-compatible interface: init / loss(variables, rng, x,
 mask, cond, train) -> (scalar, aux) with cond = labels, plus predict().
@@ -64,7 +66,7 @@ class TransformerClassifierNet(nn.Module):
 class SetClassifierModel:
     """Set classifier (binary or multiclass) over (x, mask) with labels in cond."""
 
-    arch: str = "epic"  # "epic" | "transformer"
+    arch: str = "epic"  # "epic" | "transformer" | "part" | "particlenet"
     n_classes: int = 1  # 1 => binary with BCE logits; >1 => softmax CE
     num_particles: int = 150
     features: int = 3
@@ -82,6 +84,16 @@ class SetClassifierModel:
         elif self.arch == "transformer":
             self.module = TransformerClassifierNet(
                 n_classes=max(self.n_classes, 1), dtype=self.dtype, **dict(self.net_config)
+            )
+        elif self.arch == "part":
+            from particle_fm_tpu.nets.part import ParTClassifierNet
+
+            cfg = {
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in dict(self.net_config).items()
+            }
+            self.module = ParTClassifierNet(
+                n_classes=max(self.n_classes, 1), dtype=self.dtype, **cfg
             )
         elif self.arch == "particlenet":
             from particle_fm_tpu.nets.particlenet import ParticleNetClassifierNet
@@ -111,18 +123,22 @@ class SetClassifierModel:
           epic:        fc_d1/fc_d2/fc_out (post-pooling discriminator MLP;
                        fc_l*/fc_g* are input/global trunk embeds)
           transformer: head (the output DenseNetwork)
-          particlenet: ParticleNet_0/head (nested below the net module)"""
+          particlenet: particle_net/head (nested below the net module)"""
         fresh = self.init(rng)["params"]
         params = dict(variables["params"])
         if self.arch == "particlenet":
-            net_key = next(k for k in params if "ParticleNet" in k)
+            net_key = "particle_net"  # fixed in ParticleNetClassifierNet
+            if net_key not in params:
+                raise ValueError(
+                    f"expected '{net_key}' module in params, got {sorted(params)}"
+                )
             inner = dict(params[net_key])
             inner["head"] = fresh[net_key]["head"]
             params[net_key] = inner
         else:
             head_keys = (
                 ("fc_d1", "fc_d2", "fc_out") if self.arch == "epic" else ("head",)
-            )
+            )  # "part" and "transformer" both name their output Dense "head"
             for k in head_keys:
                 if k in params:
                     params[k] = fresh[k]

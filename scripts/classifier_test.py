@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--run_dir", required=True)
     ap.add_argument("--ckpt", default="best", choices=["best", "last"])
     ap.add_argument(
-        "--arch", default="epic", choices=["epic", "transformer", "particlenet", "hl"]
+        "--arch", default="epic", choices=["epic", "transformer", "part", "particlenet", "hl"]
     )
     ap.add_argument(
         "--data_file", default=None,
@@ -111,6 +111,8 @@ def main():
     clf = SetClassifierModel(
         arch=args.arch, n_classes=1,
         num_particles=real.shape[1], features=real.shape[-1],
+        # generative runs store (etarel, phirel, ptrel): pt is already linear
+        net_config={"pt_transform": "identity"} if args.arch == "part" else {},
     )
     return _fit_and_report(args, clf, cdm)
 

@@ -200,8 +200,11 @@ def test_train_cli_lhco_jet_features(tmp_path):
     "exp,extra",
     [
         ("jetclass_classifier", ["model.num_particles=8",
-                                 "model.net_config.te_config.model_dim=16",
-                                 "model.net_config.te_config.num_layers=1"]),
+                                 "model.net_config.embed_dims=[16,16]",
+                                 "model.net_config.num_heads=2",
+                                 "model.net_config.num_layers=1",
+                                 "model.net_config.num_cls_layers=1",
+                                 "model.net_config.pair_embed_dims=[8,8]"]),
         ("jetclass_classifier_particlenet",
          ["model.num_particles=8",
           "model.net_config.conv_params=[[3,[8,8]]]",
@@ -210,8 +213,9 @@ def test_train_cli_lhco_jet_features(tmp_path):
     ],
 )
 def test_train_cli_jetclass_classifier(exp, extra, tmp_path):
-    """CLI e2e for the JetClass classifier-test family (ParT-equivalent
-    transformer / ParticleNet / HL-MLP) on synthetic gen-vs-sim data."""
+    """CLI e2e for the JetClass classifier-test family (ParT with pairwise
+    interaction attention / ParticleNet / HL-MLP) on synthetic gen-vs-sim
+    data."""
     from particle_fm_tpu.train import main
 
     metrics = main(
