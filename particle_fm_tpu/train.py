@@ -16,7 +16,6 @@ import sys
 import time
 
 from particle_fm_tpu.config.core import compose, instantiate, save_config
-from particle_fm_tpu.parallel.mesh import make_mesh
 from particle_fm_tpu.parallel.train import make_optimizer
 from particle_fm_tpu.training.lr_schedules import (
     cosine_warmup_schedule,
@@ -129,7 +128,8 @@ def train(cfg: dict, extra_callbacks: list | None = None) -> tuple[dict, dict]:
         logger_backends=logger_backends,
         logger_kwargs=logger_cfg,
         seed=cfg.get("seed", 0),
-        mesh=make_mesh(),
+        # mesh is built by the Trainer itself: trainer.strategy decides the
+        # (data, model) axis layout (dp/fsdp -> 1-D, dp_tp/sp -> 2-D)
         **trainer_cfg,
     )
 

@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from particle_fm_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from particle_fm_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_batch_sp,
+)
 from particle_fm_tpu.parallel.train import (
     TrainState,
     create_train_state,
@@ -66,6 +71,16 @@ class Trainer:
     seed: int = 0
     verbose: bool = True
     mesh: object = None
+    # parallelism strategy (beyond-reference; the reference's only mode is
+    # DDP == "dp"):
+    #   dp     data parallel, params replicated (default)
+    #   fsdp   ZeRO-3: params/EMA/Adam moments sharded over 'data'
+    #          (parallel/fsdp.py), weights all-gathered JIT by GSPMD
+    #   dp_tp  Megatron-style tensor parallelism on the EPiC local MLPs over
+    #          a 'model' axis of size model_axis_size (parallel/tp.py)
+    #   sp     sequence parallelism: the particle axis sharded over 'model'
+    strategy: str = "dp"
+    model_axis_size: int = 2
 
     # populated at runtime
     state: TrainState = None
@@ -86,8 +101,27 @@ class Trainer:
             self.ckpt_dir = None
             self.log_dir = None
             self.verbose = False
+        if self.strategy not in ("dp", "fsdp", "dp_tp", "sp"):
+            raise ValueError(
+                f"unknown trainer.strategy {self.strategy!r} "
+                "(expected dp | fsdp | dp_tp | sp)"
+            )
         if self.mesh is None:
-            self.mesh = make_mesh()
+            if self.strategy in ("dp_tp", "sp"):
+                n = jax.device_count()
+                tp = self.model_axis_size
+                if n % tp:
+                    raise ValueError(
+                        f"strategy={self.strategy} needs device_count ({n}) "
+                        f"divisible by model_axis_size ({tp})"
+                    )
+                self.mesh = make_mesh(data=n // tp, model=tp)
+            else:
+                self.mesh = make_mesh()
+        if self.strategy == "sp" and self.scan_epochs:
+            # the scanned-epoch path places batches with stacked (data-only)
+            # shardings; run SP through the per-step path instead
+            self.scan_epochs = False
         # multi-host: callbacks still COMPUTE on every process (deterministic
         # seeds keep metrics — and thus early-stopping control flow —
         # identical across hosts) but only rank 0 writes artifact files;
@@ -101,6 +135,7 @@ class Trainer:
             ema_every_n=self.ema_every_n,
             ema_start_step=self.ema_start_step,
             mesh=self.mesh,
+            sp=self.strategy == "sp",
         )
         self.eval_step = make_eval_step(self.model, mesh=self.mesh)
         self.train_epoch = (
@@ -145,16 +180,40 @@ class Trainer:
             )
             print(f"[trainer] {msg}", flush=True)
 
-    def _shard(self, batch):
+    def _shard(self, batch, seq: bool | None = None):
+        """Place a host batch on the mesh. `seq` controls the SP particle-axis
+        sharding — True for training batches (the SP train step's committed
+        in_shardings), False for eval batches (eval_step is data-sharded)."""
+        if seq is None:
+            seq = self.strategy == "sp"
         x, mask, cond = batch
-        return shard_batch(
-            (
-                jnp.asarray(x),
-                jnp.asarray(mask) if mask is not None else None,
-                jnp.asarray(cond) if cond is not None else None,
-            ),
-            self.mesh,
+        batch = (
+            jnp.asarray(x),
+            jnp.asarray(mask) if mask is not None else None,
+            jnp.asarray(cond) if cond is not None else None,
         )
+        if seq:
+            # x/mask shard (data, model) on (batch, particle); cond is (B, C)
+            x, mask, cond = batch
+            xs, ms = shard_batch_sp((x, mask), self.mesh)
+            (cs,) = shard_batch((cond,), self.mesh)
+            return xs, ms, cs
+        return shard_batch(batch, self.mesh)
+
+    def _place_state(self, state):
+        """Place the TrainState on the mesh per the strategy: replicated
+        (dp/sp), ZeRO-3-sharded (fsdp), or TP-annotated (dp_tp). The jitted
+        steps pass state shardings through (in_shardings=None), so the
+        placement chosen here is what GSPMD propagates end to end."""
+        if self.strategy == "fsdp":
+            from particle_fm_tpu.parallel.fsdp import shard_state_fsdp
+
+            return shard_state_fsdp(state, self.mesh)
+        if self.strategy == "dp_tp":
+            from particle_fm_tpu.parallel.tp import epic_tp_rules, shard_state
+
+            return shard_state(state, self.mesh, epic_tp_rules())
+        return replicate(state, self.mesh)
 
     # ---------------------------------------------------------------- fit
     def fit(
@@ -180,7 +239,7 @@ class Trainer:
             state = self.ckpt.restore(resume_from, state)
             if self.verbose:
                 print(f"[trainer] resumed from {resume_from} at step {int(state.step)}")
-        state = replicate(state, self.mesh)
+        state = self._place_state(state)
         self.state = state
         self.should_stop = False  # a fresh fit() clears any earlier stop request
         rng = jax.random.PRNGKey(self.seed + 1)
@@ -322,16 +381,19 @@ class Trainer:
         xs = jnp.take(x, perm_dev, axis=0)
         ms = jnp.take(mask, perm_dev, axis=0) if mask is not None else None
         cs = jnp.take(cond, perm_dev, axis=0) if cond is not None else None
-        from particle_fm_tpu.parallel.mesh import batch_sharding
+        from particle_fm_tpu.parallel.mesh import batch_sharding, sp_sharding
 
         sh = batch_sharding(self.mesh)
+        # SP: x/mask carry the (batch, particle) sharding the train step's
+        # in_shardings were compiled with; cond stays batch-sharded
+        sh_seq = sp_sharding(self.mesh) if self.strategy == "sp" else sh
         for i in range(n_use // bs):
             sl = slice(i * bs, (i + 1) * bs)
             # slicing a sharded axis produces a resharded array; re-place it
             # (device-to-device, no host round-trip) so jit's in_shardings match
             yield tuple(
-                jax.device_put(a[sl], sh) if a is not None else None
-                for a in (xs, ms, cs)
+                jax.device_put(a[sl], s) if a is not None else None
+                for a, s in ((xs, sh_seq), (ms, sh_seq), (cs, sh))
             )
 
     def _per_jettype_losses(self) -> dict:
@@ -357,7 +419,7 @@ class Trainer:
                 split.mask[sel] if split.mask is not None else None,
                 split.cond[sel],
             )
-            loss = self.eval_step(self.state, rng, *self._shard(batch))
+            loss = self.eval_step(self.state, rng, *self._shard(batch, seq=False))
             out[f"val_loss_{str(name).replace('jet_type_label_', '')}"] = float(
                 np.asarray(loss)
             )
@@ -376,7 +438,9 @@ class Trainer:
                 if keep == 0:
                     continue
                 batch = tuple(b[:keep] if b is not None else None for b in batch)
-            losses.append(np.asarray(self.eval_step(self.state, rng, *self._shard(batch))))
+            losses.append(
+                np.asarray(self.eval_step(self.state, rng, *self._shard(batch, seq=False)))
+            )
         return float(np.mean(losses)) if losses else np.nan
 
     # ---------------------------------------------------------------- test
