@@ -265,18 +265,87 @@ class EPiCDiscriminator(nn.Module):
         return out
 
 
-class EPiCDiscriminatorHierarchical(nn.Module):
-    """Two-level (particle + jet) discriminator for multi-jet events.
+class EPiCDiscriminator2(nn.Module):
+    """Headless EPiC trunk: local embed -> EPiC layers -> final meansum cat.
 
-    The event's `num_sup_sets` jets are each encoded by a shared
-    particle-level EPiC discriminator trunk; the per-jet representations then
-    form a small set processed by a jet-level trunk, and both levels feed the
-    final head. Parity: particle_fm/models/components/epic.py:601-775
-    (EPiC_discriminator3 composing two EPiC_discriminator_2 trunks; here the
-    trunks are EPiCDiscriminator feature extractors with a shared structure).
+    Returns cat(scaled_sum, mean, global) of dim 2*hid_dim + latent_dim per
+    set — the reusable feature extractor the reference's hierarchical
+    discriminator composes twice.
+    Parity: particle_fm/models/components/epic.py:776-964
+    (EPiC_discriminator_2.forward; its fc_g3/fc_g4/out layers are dead
+    parameters — constructed at :869-873 but never used in forward — so the
+    trunk here simply doesn't have them). Weight-transplant-tested against
+    the executed torch module in tests/test_torch_parity.py.
+    """
+
+    hid_dim: int = 256
+    latent_dim: int = 16
+    equiv_layers: int = 6
+    global_cond_dim: int = 0
+    local_cond_dim: int = 0
+    activation: str = "leaky_relu"
+    use_weight_norm: bool = True
+    sum_scale: float = 1e-2
+    dropout: float = 0.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, cond=None, mask=None, deterministic: bool = True):
+        act = get_act(self.activation)
+        wn = self.use_weight_norm
+        dense = lambda feats, name: WNDense(
+            feats, use_weight_norm=wn, dtype=self.dtype, name=name
+        )
+        g_cond = cond if self.global_cond_dim > 0 else None
+
+        h = act(dense(self.hid_dim, "fc_l1")(x))
+        h = act(dense(self.hid_dim, "fc_l2")(h) + h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+
+        z_mean, z_sum = meansum_pool(h, mask, self.sum_scale)
+        g = act(dense(self.hid_dim, "fc_g1")(cat(jnp.concatenate([z_sum, z_mean], -1), g_cond)))
+        g = act(dense(self.latent_dim, "fc_g2")(cat(g, g_cond)))
+
+        for i in range(self.equiv_layers):
+            g, h = EPiCLayer(
+                hid_dim=self.hid_dim,
+                latent_dim=self.latent_dim,
+                global_cond_dim=self.global_cond_dim,
+                local_cond_dim=self.local_cond_dim,
+                activation=self.activation,
+                use_weight_norm=wn,
+                sum_scale=self.sum_scale,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=f"epic_layer_{i}",
+            )(None, g, h, cond=cond, mask=mask, deterministic=deterministic)
+
+        x_mean, x_sum = meansum_pool(h, mask, self.sum_scale)
+        return jnp.concatenate([x_sum, x_mean, g], axis=-1)
+
+
+class EPiCDiscriminator3(nn.Module):
+    """Two-level (particle + jet) discriminator for multi-jet events, with
+    two DISTINCT EPiCDiscriminator2 trunks like the reference.
+
+    Flow: each of the event's `num_sup_sets` jets runs through the particle
+    trunk -> (B, S, 2h+l) jet features; a second, distinct jet trunk
+    processes that small set into one event feature (B, 2h+l); the head
+    (fc_g3 -> fc_g4 -> out, like epic.py:700-704) consumes the event feature
+    concatenated with the flattened per-jet features.
+
+    Parity: particle_fm/models/components/epic.py:601-773
+    (EPiC_discriminator3). Note the reference module as written cannot
+    execute: its jet trunk pools over jets to (B, 2h+l) (epic.py:958-964)
+    but fc_g3's declared width is (2h+l)*num_sup_sets (:700-702) — a
+    guaranteed shape error (there is also a stray debug print at :764), and
+    it appears in no experiment config. This implementation keeps the
+    two-distinct-trunk topology and the head stack, and feeds the head both
+    levels (event feature + per-jet features) so the second trunk actually
+    contributes.
 
     Call: x (B*S, N, F) with mask (B*S, N, 1) — jets flattened into the batch
-    like the reference's LHCO "all" layout; returns (B, 1) event logits.
+    (ADJACENT rows form one event); returns (B, 1) event logits.
     """
 
     hid_dim: int = 128
@@ -286,6 +355,7 @@ class EPiCDiscriminatorHierarchical(nn.Module):
     activation: str = "leaky_relu"
     use_weight_norm: bool = True
     sum_scale: float = 1e-2
+    dropout: float = 0.0
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -296,38 +366,31 @@ class EPiCDiscriminatorHierarchical(nn.Module):
             feats, use_weight_norm=wn, dtype=self.dtype, name=name
         )
         s = self.num_sup_sets
-        # particle level: per-jet representation (pre-logit features)
-        feat_dim = self.hid_dim
-        particle_trunk = EPiCDiscriminator(
+        feat_dim = 2 * self.hid_dim + self.latent_dim
+
+        trunk_kwargs = dict(
             hid_dim=self.hid_dim,
             latent_dim=self.latent_dim,
             equiv_layers=self.equiv_layers,
             activation=self.activation,
             use_weight_norm=wn,
             sum_scale=self.sum_scale,
-            out_dim=feat_dim,
+            dropout=self.dropout,
             dtype=self.dtype,
-            name="particle_trunk",
         )
-        jet_feats = particle_trunk(x, mask=mask, deterministic=deterministic)  # (B*S, H)
-        # ADJACENT rows form one event (see EPiCDiscriminator above)
-        jet_set = jet_feats.reshape(-1, s, feat_dim)  # (B, S, H)
+        # distinct trunks: separate parameters for the particle and jet level
+        jet_feats = EPiCDiscriminator2(name="particle_trunk", **trunk_kwargs)(
+            x, mask=mask, deterministic=deterministic
+        )  # (B*S, 2h+l)
+        jet_set = jet_feats.reshape(-1, s, feat_dim)  # (B, S, 2h+l)
 
-        # jet level: a tiny set encoder over the S jets
-        jet_trunk = EPiCDiscriminator(
-            hid_dim=self.hid_dim,
-            latent_dim=self.latent_dim,
-            equiv_layers=max(self.equiv_layers // 2, 1),
-            activation=self.activation,
-            use_weight_norm=wn,
-            sum_scale=self.sum_scale,
-            out_dim=feat_dim,
-            dtype=self.dtype,
-            name="jet_trunk",
+        event_feats = EPiCDiscriminator2(name="jet_trunk", **trunk_kwargs)(
+            jet_set, mask=None, deterministic=deterministic
+        )  # (B, 2h+l)
+
+        head_in = jnp.concatenate(
+            [event_feats, jet_set.reshape(jet_set.shape[0], s * feat_dim)], axis=-1
         )
-        event_feats = jet_trunk(jet_set, mask=None, deterministic=deterministic)  # (B, H)
-
-        combined = cat(event_feats, jet_set.reshape(-1, s * feat_dim))
-        out = act(dense(self.hid_dim, "fc_g3")(combined))
-        out = act(dense(self.hid_dim, "fc_g4")(out) + out)
+        out = act(dense(self.hid_dim, "fc_g3")(head_in))
+        out = act(dense(self.hid_dim, "fc_g4")(out))
         return dense(1, "out")(out)

@@ -97,14 +97,17 @@ def test_gen_vs_real_normalization_and_labels():
     np.testing.assert_array_equal(x * (1 - m), 0.0)
 
 
-def test_hierarchical_discriminator():
+def test_two_trunk_discriminator():
+    """EPiCDiscriminator3: two DISTINCT trunks (particle + jet level), event
+    logits from flattened per-jet + event features (reference
+    EPiC_discriminator3 topology, epic.py:601-773)."""
     import jax
     import jax.numpy as jnp
 
-    from particle_fm_tpu.nets.epic import EPiCDiscriminatorHierarchical
+    from particle_fm_tpu.nets.epic import EPiCDiscriminator3
 
-    disc = EPiCDiscriminatorHierarchical(hid_dim=16, latent_dim=4, equiv_layers=1,
-                                         num_sup_sets=2)
+    disc = EPiCDiscriminator3(hid_dim=16, latent_dim=4, equiv_layers=1,
+                              num_sup_sets=2)
     rs = np.random.RandomState(0)
     x = jnp.asarray(rs.randn(8, 10, 3).astype(np.float32))  # 4 events x 2 jets
     mask = jnp.ones((8, 10, 1))
@@ -112,6 +115,16 @@ def test_hierarchical_discriminator():
     out = disc.apply(params, x, mask=mask)
     assert out.shape == (4, 1)
     assert np.isfinite(np.asarray(out)).all()
+    # the two trunks are distinct parameter sets
+    keys = params["params"].keys()
+    assert "particle_trunk" in keys and "jet_trunk" in keys
+    p_leaves = jax.tree_util.tree_leaves(params["params"]["particle_trunk"])
+    j_leaves = jax.tree_util.tree_leaves(params["params"]["jet_trunk"])
+    assert len(p_leaves) == len(j_leaves)
+    assert not all(
+        a.shape == b.shape and np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(p_leaves, j_leaves)
+    )
 
 
 def test_logit_scaler_roundtrip():
