@@ -121,8 +121,12 @@ def synthetic_calo(
     """CaloChallenge-like variable-length hit clouds: (x (B, N, [E,z,alpha,r]),
     mask (B, N, 1), cond (B, 1) incident energy)."""
     rs = np.random.RandomState(seed)
-    e_inc = rs.uniform(1.0, 1000.0, size=(num_showers, 1)).astype(np.float32)
-    mult = np.clip((max_hits * (e_inc[:, 0] / 1000.0) ** 0.5).astype(int), 5, max_hits)
+    # MeV scale, log-uniform 1 GeV .. 1 TeV like CaloChallenge dataset 2/3:
+    # per-hit energies then spread across the reference eval's fixed
+    # Regular(100, 0, 6500 MeV) histogram axis instead of collapsing into
+    # bin 0 (round-2 VERDICT weak #9)
+    e_inc = (10.0 ** rs.uniform(3.0, 6.0, size=(num_showers, 1))).astype(np.float32)
+    mult = np.clip((max_hits * (e_inc[:, 0] / 1e6) ** 0.5).astype(int), 5, max_hits)
     ar = np.arange(max_hits)[None, :]
     mask = (ar < mult[:, None]).astype(np.float32)[..., None]
     e = rs.exponential(1.0, size=(num_showers, max_hits)).astype(np.float32)

@@ -378,12 +378,53 @@ class JetNetEvalCallback:
     seed: int = 9999  # fixed eval seed, parity with the reference
     log_epoch_zero: bool = False  # parity: jetnet_eval.yaml log_epoch_zero
     per_type_w1: bool = False  # per-jet-type W1 breakdown (JetClass eval)
+    # generate with the datamodule's generated-conditioning twins
+    # (mask_gen / tensor_conditioning_gen from a JetClass gen-file) when
+    # present — the paper workflow (reference jetclass_eval.py:262-271);
+    # falls back to the split's own cond/mask like the reference does
+    use_gen_conditioning: bool = True
+    # external conditioning h5 with pt/mass/num_particles datasets
+    # (reference jetnet_final_eval.py:149-175 cond_path): overrides both
+    cond_path: Optional[str] = None
 
     def _arrays(self, dm):
         real = getattr(dm, f"tensor_{self.split}")
         mask = getattr(dm, f"mask_{self.split}")
         cond = getattr(dm, f"tensor_conditioning_{self.split}")
         return real, mask, cond
+
+    def _gen_conditioning(self, dm, cond, mask, n):
+        """(cond, mask) to GENERATE with, tiled to n samples. Priority:
+        cond_path h5 > datamodule gen-twins > the eval split's own arrays."""
+        if self.cond_path is not None:
+            import h5py
+
+            with h5py.File(self.cond_path, "r") as f:
+                pt_c = np.asarray(f["pt"])
+                mass_c = np.asarray(f["mass"])
+                num_particles_c = np.asarray(f["num_particles"]).squeeze()
+            jet_size = int(mask.shape[1]) if mask is not None else int(
+                getattr(dm, "num_particles", num_particles_c.max())
+            )
+            npart = np.clip(num_particles_c.astype(int), 1, jet_size)
+            mask_c = np.tri(jet_size)[npart - 1][..., None].astype(np.float32)
+            pt_c = pt_c.reshape(len(pt_c), -1)
+            mass_c = mass_c.reshape(len(mass_c), -1)
+            cond_means = getattr(dm, "cond_means", None)
+            if cond is not None and cond_means is not None:
+                cond_stds = np.asarray(dm.cond_stds)
+                cond_means = np.asarray(cond_means)
+                pt_c = (pt_c - cond_means[0]) / cond_stds[0]
+                mass_c = (mass_c - cond_means[1]) / cond_stds[1]
+            cond_c = np.concatenate([pt_c, mass_c], axis=-1).astype(np.float32)
+            return _tile_to(cond_c, n), _tile_to(mask_c, n)
+        mask_gen = getattr(dm, "mask_gen", None)
+        if self.use_gen_conditioning and mask_gen is not None:
+            return (
+                _tile_to(getattr(dm, "tensor_conditioning_gen", None), n),
+                _tile_to(mask_gen, n),
+            )
+        return _tile_to(cond, n), _tile_to(mask, n)
 
     def _should_run(self, trainer) -> bool:
         if getattr(trainer, "testing", False):
@@ -402,7 +443,7 @@ class JetNetEvalCallback:
             n = abs(self.num_jet_samples) * len(real)
         else:
             n = self.num_jet_samples
-        cond_n, mask_n = _tile_to(cond, n), _tile_to(mask, n)
+        cond_n, mask_n = self._gen_conditioning(dm, cond, mask, n)
         variables = jax.device_get(trainer.state.variables(ema=self.use_ema))
 
         gen, gen_time = generate_data(
@@ -496,7 +537,7 @@ class FinalEvalCallback(JetNetEvalCallback):
         dm = trainer.datamodule
         real, mask, cond = self._arrays(dm)
         n = max(int(len(real) * self.num_samples_factor), 1)
-        cond_n, mask_n = _tile_to(cond, n), _tile_to(mask, n)
+        cond_n, mask_n = self._gen_conditioning(dm, cond, mask, n)
         variables = jax.device_get(trainer.state.variables(ema=self.use_ema))
         gen, gen_time = generate_data(
             trainer.model,
@@ -515,6 +556,9 @@ class FinalEvalCallback(JetNetEvalCallback):
             pt_standardization=getattr(dm, "pt_standardization", False),
             ode_solver=self.ode_solver,
             ode_steps=self.ode_steps,
+            # like the per-epoch path (:427): guard against model-default vs
+            # data set-size mismatch when the datamodule supplies no mask
+            num_points=int(real.shape[1]),
         )
         # None on non-rank-0 hosts: compute metrics everywhere (consistent
         # control flow), write artifacts only on rank 0

@@ -133,14 +133,17 @@ def main():
     hl_r = compute_substructure(real_k)
     hl_g = compute_substructure(gen)
     n_eval = min(len(gen), len(real_k), 10_000)
+    # num_batches=40: the shared bootstrap protocol (FinalEvalCallback,
+    # eval/callbacks.py, and the reference's metrics.py:11-34 defaults) — the
+    # standalone numbers carry the same error bars as the in-training ones
     for key in ("tau21", "tau32", "d2"):
-        m_, s_ = wasserstein_distance_batched(hl_r[key], hl_g[key], n_eval, 5)
+        m_, s_ = wasserstein_distance_batched(hl_r[key], hl_g[key], n_eval, 40)
         metrics[f"w1_{key}_mean"], metrics[f"w1_{key}_std"] = m_, s_
     for f in range(min(real_k.shape[-1], 3)):
         kld, _ = reversed_kl_divergence_batched_bootstrapping(
             real_k[..., f], gen[..., f],
             mask_target=mask_k[..., 0] > 0, mask_approx=mask_gen[..., 0] > 0,
-            num_eval_samples=min(n_eval, 5000), num_batches=5,
+            num_eval_samples=min(n_eval, 5000), num_batches=40,
         )
         metrics[f"rkld_feature_{f}"] = kld
 

@@ -205,3 +205,55 @@ def test_gen_challenge_contract():
     assert dm.tensor_test_sr is not None
     # normalized train features ~ N(0, sigma)
     assert abs(dm.train.x.mean()) < 0.5
+
+
+def test_gen_conditioning_priority(tmp_path):
+    """JetNetEvalCallback._gen_conditioning: cond_path h5 > datamodule
+    gen-twins (mask_gen/tensor_conditioning_gen, the JetClass paper workflow,
+    reference jetclass_eval.py:262-271) > the split's own arrays."""
+    import h5py
+
+    from particle_fm_tpu.eval.callbacks import JetNetEvalCallback
+
+    class DM:
+        cond_means = [100.0, 10.0]
+        cond_stds = [50.0, 5.0]
+        mask_gen = None
+        tensor_conditioning_gen = None
+
+    n, jet = 6, 8
+    split_cond = np.ones((4, 2), np.float32)
+    split_mask = np.ones((4, jet, 1), np.float32)
+
+    # 3) fallback: split arrays, tiled to n
+    cb = JetNetEvalCallback()
+    c, m = cb._gen_conditioning(DM(), split_cond, split_mask, n)
+    assert c.shape == (n, 2) and m.shape == (n, jet, 1)
+
+    # 2) gen twins win when present
+    dm = DM()
+    dm.mask_gen = np.zeros((5, jet, 1), np.float32)
+    dm.mask_gen[:, :3] = 1.0
+    dm.tensor_conditioning_gen = 7.0 * np.ones((5, 2), np.float32)
+    c, m = cb._gen_conditioning(dm, split_cond, split_mask, n)
+    assert float(c[0, 0]) == 7.0
+    assert m[:, :3].all() and not m[:, 3:].any()
+    # ... unless disabled
+    c, m = JetNetEvalCallback(use_gen_conditioning=False)._gen_conditioning(
+        dm, split_cond, split_mask, n
+    )
+    assert float(c[0, 0]) == 1.0
+
+    # 1) external cond_path h5 (reference jetnet_final_eval.py:149-175):
+    # tril masks from num_particles, cond z-scored with the dm stats
+    path = os.path.join(tmp_path, "cond.h5")
+    with h5py.File(path, "w") as f:
+        f["pt"] = np.full((n, 1), 150.0, np.float32)
+        f["mass"] = np.full((n, 1), 15.0, np.float32)
+        f["num_particles"] = np.full((n, 1), 5.0, np.float32)
+    cb = JetNetEvalCallback(cond_path=path)
+    c, m = cb._gen_conditioning(dm, split_cond, split_mask, n)
+    assert m.shape == (n, jet, 1)
+    assert m[:, :5].all() and not m[:, 5:].any()
+    np.testing.assert_allclose(c[:, 0], (150.0 - 100.0) / 50.0)
+    np.testing.assert_allclose(c[:, 1], (15.0 - 10.0) / 5.0)
