@@ -29,8 +29,17 @@ def evaluate(run_dir: str, ckpt: str = "best", overrides: dict | None = None) ->
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         # CLI values arrive as strings; parse like the train CLI's dotlist
-        # (yaml scalar rules: ints, floats, bools, null, strings)
-        node[parts[-1]] = yaml.safe_load(v) if isinstance(v, str) else v
+        # (yaml scalar rules: ints, floats, bools, null, strings). YAML 1.1
+        # leaves dot-less scientific notation like "1e-3" a string — add the
+        # float fallback so numeric overrides always compare numerically.
+        if isinstance(v, str):
+            v = yaml.safe_load(v)
+            if isinstance(v, str):
+                try:
+                    v = float(v)
+                except ValueError:
+                    pass
+        node[parts[-1]] = v
 
     dm = instantiate(cfg["data"])
     dm.setup()

@@ -154,6 +154,7 @@ class ParticleNetClassifierNet(nn.Module):
     def __call__(self, x, mask=None, cond=None, deterministic: bool = True):
         points = x[..., tuple(self.point_indices)]
         cfg = dict(self.net_config or {})
-        return ParticleNet(num_classes=self.n_classes, dtype=self.dtype, **cfg)(
-            points, x, mask=mask, deterministic=deterministic
-        )
+        # explicit name: reinit_head (models/classifiers.py) keys on it
+        return ParticleNet(
+            num_classes=self.n_classes, dtype=self.dtype, name="particle_net", **cfg
+        )(points, x, mask=mask, deterministic=deterministic)

@@ -45,11 +45,21 @@ def maybe_initialize_distributed(enable: bool | None = None) -> bool:
     # the XLA backend, after which jax.distributed.initialize() raises
     # ("must be called before any JAX calls"). Inspect the distributed
     # client state directly instead.
-    from jax._src import distributed as _dist
+    try:
+        from jax._src import distributed as _dist
 
-    if getattr(_dist.global_state, "client", None) is not None:
-        return True  # already initialized
-    jax.distributed.initialize()
+        already = getattr(_dist.global_state, "client", None) is not None
+    except (ImportError, AttributeError):
+        # private module layout changed across a JAX upgrade: fall back to
+        # attempting initialization and treating "already initialized" as ok
+        already = False
+    if already:
+        return True
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
     return True
 
 

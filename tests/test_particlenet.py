@@ -256,7 +256,7 @@ def test_jetclass_classifier_dm_h5_roundtrip(tmp_path):
 def test_reinit_head_epic_and_particlenet_scopes():
     """reinit_head must replace ONLY the head modules: epic keeps its
     fc_l*/fc_g* trunk embeds and epic_layer_* blocks; particlenet replaces
-    the nested ParticleNet_0/head."""
+    the nested particle_net/head."""
     from particle_fm_tpu.models.classifiers import SetClassifierModel
 
     def changed(a, b):
@@ -277,7 +277,7 @@ def test_reinit_head_epic_and_particlenet_scopes():
     m = SetClassifierModel(arch="particlenet", n_classes=10, num_particles=8, features=3)
     v = m.init(jax.random.PRNGKey(0))
     out = m.reinit_head(v, jax.random.PRNGKey(42))
-    net_key = next(k for k in v["params"] if "ParticleNet" in k)
+    net_key = "particle_net"
     for k in v["params"][net_key]:
         sub_changed = changed(v["params"][net_key][k], out["params"][net_key][k])
         assert sub_changed == (k == "head"), (k, sub_changed)
