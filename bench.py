@@ -97,6 +97,52 @@ def _flops_per_jet(model, variables, nfe: int) -> tuple[float, str]:
     return _analytic_flops_per_jet(nfe), "analytic_matmul_model"
 
 
+def _secondary_archs():
+    """Production configs of the other three vector-field families
+    (configs/model/fm_droid_transformer.yaml, fm_droid_crossattention.yaml,
+    flow_matching_mdma.yaml), benchmarked on the same JetNet-150 protocol."""
+    droid_t = FlowMatchingModel(
+        model="droid_fulltransformer", features=3, num_particles=150,
+        frequencies=16, t_emb="cosine", add_time_to_input=True,
+        loss_type="FM-OT", dtype=jnp.bfloat16,
+        net_config=dict(
+            te_config=dict(
+                model_dim=256, num_layers=3,
+                mha_config=dict(num_heads=16, do_layer_norm=True),
+                dense_config=dict(act_h="lrlu", nrm="layer"),
+            ),
+            node_embd_config=dict(act_h="lrlu", nrm="layer"),
+            ctxt_embd_config=dict(outp_dim=64, act_h="lrlu", nrm="layer"),
+            outp_embd_config=dict(act_h="lrlu", nrm="layer"),
+        ),
+    )
+    droid_ca = FlowMatchingModel(
+        model="droid_fullcrossattention", features=3, num_particles=150,
+        frequencies=16, t_emb="cosine", add_time_to_input=True,
+        loss_type="FM-OT", dtype=jnp.bfloat16,
+        net_config=dict(
+            cae_config=dict(
+                model_dim=128, num_layers=8,
+                mha_config=dict(num_heads=16, do_layer_norm=True),
+                dense_config=dict(hddn_dim=256, act_h="lrlu", nrm="layer"),
+            ),
+            node_embd_config=dict(act_h="lrlu", nrm="layer"),
+            ctxt_embd_config=dict(outp_dim=64, act_h="lrlu", nrm="layer"),
+            outp_embd_config=dict(act_h="lrlu", nrm="layer"),
+        ),
+    )
+    mdma = FlowMatchingModel(
+        model="mdma", features=3, num_particles=150, frequencies=16,
+        t_emb="cosine", add_time_to_input=False, loss_type="CFM",
+        dtype=jnp.bfloat16,
+        net_config=dict(latent=16, hidden_dim=256, layers=8, num_heads=8,
+                        t_local_cat=True, t_global_cat=True),
+    )
+    return {"droid_fulltransformer": droid_t,
+            "droid_fullcrossattention": droid_ca,
+            "mdma": mdma}
+
+
 def main():
     model = FlowMatchingModel(
         model="epic",
@@ -166,6 +212,34 @@ def main():
     jets_100, run_100 = measure(51)
     # secondary: NFE=198 (round-1 setting, ode_steps=100)
     jets_198, _ = measure(100)
+    # quality-matched: NFE=50 (ode_steps=26) — the solver is converged by
+    # NFE~50 on this config (docs/RESULTS.md quality-vs-NFE study), so this
+    # is the fastest setting with headline-equal W1M
+    jets_50, _ = measure(26)
+
+    # per-arch throughput at NFE=100 (production configs of the other three
+    # vector-field families; shorter scan to bound bench wall time)
+    arch_jets = {}
+    for name, amodel in _secondary_archs().items():
+        avars = amodel.init(jax.random.PRNGKey(0))
+        scan_k = 8
+
+        @jax.jit
+        def arun(key):
+            def body(_, k):
+                return None, amodel.sample(
+                    avars, k, n_samples=BATCH, mask=mask,
+                    ode_solver=SOLVER, ode_steps=51,
+                )
+
+            _, outs = jax.lax.scan(body, None, jax.random.split(key, scan_k))
+            return outs
+
+        materialize(arun(jax.random.PRNGKey(1)))
+        materialize(arun(jax.random.PRNGKey(0)))
+        t0 = time.perf_counter()
+        materialize(arun(jax.random.PRNGKey(2)))
+        arch_jets[name] = round(BATCH * scan_k / (time.perf_counter() - t0), 2)
 
     # training throughput (secondary key): the production scanned-epoch path
     # (one jitted lax.scan over K full steps — loss, grads, AdamW, EMA)
@@ -207,6 +281,8 @@ def main():
                 "unit": "jets/s/chip",
                 "vs_baseline": round(jets_100 / BASELINE_JETS_PER_SEC_NFE100, 3),
                 "nfe198_jets_per_sec": round(jets_198, 2),
+                "nfe50_quality_matched_jets_per_sec": round(jets_50, 2),
+                "arch_jets_per_sec_nfe100": arch_jets,
                 "train_jets_per_sec": round(train_jets, 2),
                 "flops_per_jet_nfe100": round(flops_per_jet),
                 "flops_source": flops_src,
