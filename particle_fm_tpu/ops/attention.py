@@ -15,6 +15,7 @@ fully-masked row as long as each set has >= 1 real particle.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import nn as jnn
 
@@ -55,17 +56,46 @@ def attention(
     attn_bias: jnp.ndarray | None = None,
     impl: str = "auto",
 ) -> jnp.ndarray:
-    """Dispatching front-end: impl in {"auto", "einsum", "flash"}.
+    """Dispatching front-end: impl in {"auto", "einsum", "flash", "fused"}.
 
-    "auto" picks the Pallas flash kernel when the sequence is long enough to
-    pay off and the head dim tiles the TPU lanes (no attn_bias support there).
+    "auto" picks a Pallas kernel on TPU backends:
+      - "fused" (ops/pallas/short_attention.py) for short sets, where the
+        whole (H, Lq, Lk) score tensor fits VMEM — kills the HBM
+        materialization of the f32 logits that otherwise dominates the
+        droid-transformer sampler (measured 2/3 of every vf eval). Supports
+        attn_bias (ParT pairwise interaction attention).
+      - "flash" (blockwise streaming softmax) for long sequences with
+        lane-tiling head dims (no attn_bias there).
+    CPU (the test mesh) stays on the einsum path; the Pallas kernels are
+    exercised there via interpret=True in tests.
     """
     if impl == "auto":
-        lk, d = k.shape[1], k.shape[-1]
-        use_flash = attn_bias is None and lk >= 1024 and d % 128 == 0
-        impl = "flash" if use_flash else "einsum"
+        b, lq, h, d = q.shape
+        lk = k.shape[1]
+        on_accel = jax.default_backend() != "cpu"
+        if on_accel and attn_bias is None and lk >= 1024 and d % 128 == 0:
+            impl = "flash"
+        elif on_accel and _fused_fits(h, lq, lk, d):
+            impl = "fused"
+        else:
+            impl = "einsum"
     if impl == "flash":
         from particle_fm_tpu.ops.pallas.flash_attention import flash_masked_attention
 
         return flash_masked_attention(q, k, v, kv_mask)
+    if impl == "fused":
+        from particle_fm_tpu.ops.pallas.short_attention import fused_short_attention
+
+        return fused_short_attention(q, k, v, kv_mask, attn_bias)
     return masked_attention(q, k, v, kv_mask, attn_bias)
+
+
+def _fused_fits(h: int, lq: int, lk: int, d: int, budget_bytes: int = 9_000_000) -> bool:
+    """Conservative VMEM estimate for the fused short-sequence kernel: two
+    score-sized f32 buffers + q/k/v/out with the head dim padded to 128
+    lanes, all resident per program."""
+    lqp, lkp = lq + (-lq) % 8, lk + (-lk) % 8
+    lanes = max(d, 128)
+    scores = 2 * h * lqp * lkp * 4
+    qkvo = (2 * h * lkp + 2 * h * lqp) * lanes * 4
+    return scores + qkvo <= budget_bytes
