@@ -58,27 +58,24 @@ def attention(
 ) -> jnp.ndarray:
     """Dispatching front-end: impl in {"auto", "einsum", "flash", "fused"}.
 
-    "auto" picks a Pallas kernel on TPU backends:
-      - "fused" (ops/pallas/short_attention.py) for short sets, where the
-        whole (H, Lq, Lk) score tensor fits VMEM — kills the HBM
-        materialization of the f32 logits that otherwise dominates the
-        droid-transformer sampler (measured 2/3 of every vf eval). Supports
-        attn_bias (ParT pairwise interaction attention).
-      - "flash" (blockwise streaming softmax) for long sequences with
-        lane-tiling head dims (no attn_bias there).
-    CPU (the test mesh) stays on the einsum path; the Pallas kernels are
-    exercised there via interpret=True in tests.
+    "auto" picks the blockwise flash kernel for long sequences with
+    lane-tiling head dims on accelerator backends, else the einsum path.
+
+    "fused" (ops/pallas/short_attention.py — whole score tensor in VMEM,
+    attn_bias support) is EXPLICIT-ONLY and experimental: on v5e it measured
+    bit-exact but SLOWER end to end than the einsum path at the droid
+    production config (158 vs 273 jets/s — B=640 one-program-per-set grids
+    with D=16 lane padding and VPU-bound softmax lose to XLA's fused
+    softmax pipeline), and the mixed Lq!=Lk cross-attention shapes faulted
+    the TPU worker. Kept as measured-negative-result infrastructure (same
+    status as ops/pallas/epic_layer.py); do not auto-dispatch without
+    re-validating on the target generation/toolchain.
     """
     if impl == "auto":
-        b, lq, h, d = q.shape
-        lk = k.shape[1]
+        lk, d = k.shape[1], k.shape[-1]
         on_accel = jax.default_backend() != "cpu"
-        if on_accel and attn_bias is None and lk >= 1024 and d % 128 == 0:
-            impl = "flash"
-        elif on_accel and _fused_fits(h, lq, lk, d):
-            impl = "fused"
-        else:
-            impl = "einsum"
+        use_flash = on_accel and attn_bias is None and lk >= 1024 and d % 128 == 0
+        impl = "flash" if use_flash else "einsum"
     if impl == "flash":
         from particle_fm_tpu.ops.pallas.flash_attention import flash_masked_attention
 

@@ -18,6 +18,15 @@ per-head `attn_bias` (ParT pairwise interaction attention, nets/part.py).
 
 HBM traffic per eval drops from ~(3 passes) * B*H*L*L*4 bytes to just
 q/k/v/out (+bias when used): ~12x less for the droid config.
+
+MEASURED OUTCOME on v5e (2026-08): bit-exact vs the einsum path, but SLOWER
+end to end at the droid config (158 vs 273 jets/s) — the one-program-per-set
+grid (B=640 programs) with D=16 lane padding and VPU-bound softmax loses to
+XLA's fused softmax pipeline despite the traffic saving — and the mixed
+Lq != Lk cross-attention shapes faulted the TPU worker. The kernel is
+therefore EXPLICIT-ONLY (ops/attention.attention never auto-dispatches it);
+kept with interpret-mode numeric tests as measured-negative-result
+infrastructure, like ops/pallas/epic_layer.py.
 """
 
 from __future__ import annotations

@@ -1,4 +1,10 @@
-"""Fused short-sequence attention kernel vs the einsum reference."""
+"""Fused short-sequence attention kernel vs the einsum reference.
+
+The kernel is explicit-only (not auto-dispatched): measured slower than the
+einsum path at the production droid config on v5e and faulting the TPU
+worker on mixed Lq!=Lk shapes — see ops/attention.attention's docstring.
+These tests pin its numerics (interpret mode) so the measured-negative
+result stays reproducible."""
 
 import jax
 import jax.numpy as jnp
