@@ -165,6 +165,11 @@ class MultiHeadedAttentionBlock(nn.Module):
     init_zeros: bool = False
     do_selfattn: bool = False
     do_layer_norm: bool = False
+    # storage dtype for the materialized (B, H, Lq, Lk) score tensors:
+    # "float32" (default, reference-exact) or "bfloat16" (halves the
+    # score-tensor HBM traffic that dominates droid sampling — see
+    # ops/attention.masked_attention). Reductions accumulate f32 either way.
+    scores_dtype: str | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -199,7 +204,8 @@ class MultiHeadedAttentionBlock(nn.Module):
             return t.reshape(t.shape[:-1] + (self.num_heads, head_dim))
 
         a_out = attention(
-            split_heads(q_out), split_heads(k_out), split_heads(v_out), kv_mask, attn_bias
+            split_heads(q_out), split_heads(k_out), split_heads(v_out), kv_mask, attn_bias,
+            scores_dtype=jnp.dtype(self.scores_dtype) if self.scores_dtype else None,
         )
         a_out = a_out.reshape(a_out.shape[:-2] + (self.model_dim,))
         if self.drp > 0:

@@ -28,24 +28,56 @@ def masked_attention(
     v: jnp.ndarray,
     kv_mask: jnp.ndarray | None = None,
     attn_bias: jnp.ndarray | None = None,
+    scores_dtype: jnp.dtype | None = None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention with key-side padding mask.
 
     q: (B, Lq, H, D), k/v: (B, Lk, H, D), kv_mask: (B, Lk) bool/float,
     attn_bias: (B, H, Lq, Lk) additive. Returns (B, Lq, H, D).
-    Softmax runs in float32 regardless of input dtype (TPU-friendly:
-    the matmuls stay bf16 on the MXU, the reduction stays accurate).
+
+    `scores_dtype` controls the STORAGE dtype of the materialized
+    (B, H, Lq, Lk) score tensors (default float32 — reference-exact:
+    f32 logits + the plain fused f32 softmax, weights downcast to q.dtype
+    only for the PV matmul).
+
+    scores_dtype=bfloat16 targets short-set models whose sampling cost is
+    dominated by score-tensor HBM traffic (droid: head_dim 16, L=150 —
+    measured ~2/3 of every vector-field eval, docs/RESULTS.md round 3):
+    the QK logits AND the exp() intermediate are stored in bf16 (softmax
+    max/sum still accumulate in f32), and the row normalization is folded
+    into the (B, Lq, H, D) output AFTER the PV matmul, which skips the
+    divide pass over the large tensor entirely. ~0.4% relative error on
+    the attention weights; measured 1.46x end-to-end droid sampling
+    throughput on v5e (273 -> 398 jets/s) vs 1.19x for a bf16-logits
+    variant that kept the in-place softmax divide.
     """
     d = q.shape[-1]
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-    logits = logits / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    if scores_dtype is None or jnp.dtype(scores_dtype) == jnp.float32:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        logits = logits / jnp.sqrt(jnp.asarray(d, jnp.float32))
+        if attn_bias is not None:
+            logits = logits + attn_bias.astype(jnp.float32)
+        if kv_mask is not None:
+            keep = kv_mask.astype(bool)[:, None, None, :]
+            logits = jnp.where(keep, logits, NEG_INF)
+        weights = jnn.softmax(logits, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+    sdt = jnp.dtype(scores_dtype)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=sdt)
+    logits = logits * jnp.asarray(1.0 / (d**0.5), sdt)
     if attn_bias is not None:
-        logits = logits + attn_bias.astype(jnp.float32)
+        logits = logits + attn_bias.astype(sdt)
     if kv_mask is not None:
         keep = kv_mask.astype(bool)[:, None, None, :]
-        logits = jnp.where(keep, logits, NEG_INF)
-    weights = jnn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        logits = jnp.where(keep, logits, jnp.asarray(NEG_INF, sdt))
+    # max is exact in any float dtype; exp accumulates f32, stored back sdt
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    p = jnp.exp((logits - m).astype(jnp.float32)).astype(sdt)
+    denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)  # (B,H,Lq,1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), v)
+    inv = (1.0 / denom[..., 0]).transpose(0, 2, 1)[..., None]  # (B,Lq,H,1)
+    return (out * inv).astype(q.dtype)
 
 
 def attention(
@@ -55,6 +87,7 @@ def attention(
     kv_mask: jnp.ndarray | None = None,
     attn_bias: jnp.ndarray | None = None,
     impl: str = "auto",
+    scores_dtype: jnp.dtype | None = None,
 ) -> jnp.ndarray:
     """Dispatching front-end: impl in {"auto", "einsum", "flash", "fused"}.
 
@@ -84,7 +117,7 @@ def attention(
         from particle_fm_tpu.ops.pallas.short_attention import fused_short_attention
 
         return fused_short_attention(q, k, v, kv_mask, attn_bias)
-    return masked_attention(q, k, v, kv_mask, attn_bias)
+    return masked_attention(q, k, v, kv_mask, attn_bias, scores_dtype)
 
 
 def _fused_fits(h: int, lq: int, lk: int, d: int, budget_bytes: int = 9_000_000) -> bool:

@@ -45,6 +45,44 @@ def test_masked_attention_padding_invariance():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
 
 
+def test_masked_attention_bf16_scores_close_to_f32():
+    """scores_dtype=bfloat16 (droid sampling fast path) tracks the exact
+    f32 path to bf16 resolution, including masked keys and an attn_bias."""
+    rs = np.random.RandomState(7)
+    q = jnp.asarray(rs.randn(3, 6, 4, 16).astype(np.float32))
+    k = jnp.asarray(rs.randn(3, 10, 4, 16).astype(np.float32))
+    v = jnp.asarray(rs.randn(3, 10, 4, 16).astype(np.float32))
+    kv_mask = jnp.asarray((np.arange(10)[None, :] < np.array([[7], [10], [4]])).astype(np.float32))
+    bias = jnp.asarray(rs.randn(3, 4, 6, 10).astype(np.float32))
+    exact = np.asarray(masked_attention(q, k, v, kv_mask, bias))
+    fast = np.asarray(masked_attention(q, k, v, kv_mask, bias, scores_dtype=jnp.bfloat16))
+    assert fast.dtype == exact.dtype
+    # bf16 has ~3 decimal digits; the post-PV normalization is exact math
+    np.testing.assert_allclose(fast, exact, atol=2e-2, rtol=2e-2)
+    # padding invariance must hold for the fast path too
+    k_dirty = k + (1 - kv_mask)[..., None, None] * 55.0
+    v_dirty = v + (1 - kv_mask)[..., None, None] * 55.0
+    fast2 = np.asarray(masked_attention(q, k_dirty, v_dirty, kv_mask, bias, scores_dtype=jnp.bfloat16))
+    np.testing.assert_allclose(fast, fast2, atol=1e-5)
+
+
+def test_masked_attention_bf16_scores_grads_finite():
+    """The fast path stays differentiable (training-safe): finite grads."""
+
+    def loss(q, k, v):
+        kv_mask = jnp.ones(k.shape[:2])
+        out = masked_attention(q, k, v, kv_mask, scores_dtype=jnp.bfloat16)
+        return jnp.sum(out**2)
+
+    rs = np.random.RandomState(3)
+    q = jnp.asarray(rs.randn(2, 5, 2, 8).astype(np.float32))
+    k = jnp.asarray(rs.randn(2, 9, 2, 8).astype(np.float32))
+    v = jnp.asarray(rs.randn(2, 9, 2, 8).astype(np.float32))
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+
+
 def test_masked_attention_matches_torch_sdpa():
     import torch
 
