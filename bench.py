@@ -108,7 +108,8 @@ def _secondary_archs():
         net_config=dict(
             te_config=dict(
                 model_dim=256, num_layers=3,
-                mha_config=dict(num_heads=16, do_layer_norm=True),
+                mha_config=dict(num_heads=16, do_layer_norm=True,
+                                scores_dtype="bfloat16"),
                 dense_config=dict(act_h="lrlu", nrm="layer"),
             ),
             node_embd_config=dict(act_h="lrlu", nrm="layer"),
@@ -123,7 +124,8 @@ def _secondary_archs():
         net_config=dict(
             cae_config=dict(
                 model_dim=128, num_layers=8,
-                mha_config=dict(num_heads=16, do_layer_norm=True),
+                mha_config=dict(num_heads=16, do_layer_norm=True,
+                                scores_dtype="bfloat16"),
                 dense_config=dict(hddn_dim=256, act_h="lrlu", nrm="layer"),
             ),
             node_embd_config=dict(act_h="lrlu", nrm="layer"),

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax.core import FrozenDict
 
-from particle_fm_tpu.nets.common import WNDense, cat, get_act
+from particle_fm_tpu.nets.common import WNDense, WNDenseSplit, cat, get_act
 from particle_fm_tpu.ops.attention import attention
 
 
@@ -61,18 +61,36 @@ class MLPBlock(nn.Module):
     @nn.compact
     def __call__(self, x, ctxt=None, deterministic: bool = True):
         inpt = x
+        ctxt_set = None  # per-set ctxt handled concat-free in lin_0
         if self.ctxt_dim:
             if ctxt is None:
                 raise ValueError("Was expecting contextual information but none given!")
-            x = cat(x, _broadcast_ctxt(ctxt, x))
+            if ctxt.ndim < x.ndim and not (self.init_zeros and self.n_layers == 1):
+                # (B, C) context against (B, N, F) tokens: feed the first
+                # Dense as x @ W_x + broadcast(ctxt @ W_c) via WNDenseSplit
+                # (identical param layout to Dense-on-concat) instead of
+                # materializing the (B, N, F+C) broadcast concat — the
+                # droid dense blocks pay more HBM on that concat than on
+                # the matmul itself (same trick as the EPiC local MLPs)
+                ctxt_set = ctxt
+            else:
+                x = cat(x, _broadcast_ctxt(ctxt, x))
         for n in range(self.n_layers):
-            x = WNDense(
-                self.outp_dim,
-                use_weight_norm=False,
-                init_zeros=self.init_zeros and n == self.n_layers - 1,
-                dtype=self.dtype,
-                name=f"lin_{n}",
-            )(x)
+            if n == 0 and ctxt_set is not None:
+                x = WNDenseSplit(
+                    self.outp_dim,
+                    use_weight_norm=False,
+                    dtype=self.dtype,
+                    name=f"lin_{n}",
+                )([(x, "particle"), (ctxt_set, "set")])
+            else:
+                x = WNDense(
+                    self.outp_dim,
+                    use_weight_norm=False,
+                    init_zeros=self.init_zeros and n == self.n_layers - 1,
+                    dtype=self.dtype,
+                    name=f"lin_{n}",
+                )(x)
             if self.act != "none":
                 x = get_act(self.act)(x)
             if self.nrm == "layer":
