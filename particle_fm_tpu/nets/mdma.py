@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from particle_fm_tpu.nets.common import WNDense, cat
+from particle_fm_tpu.nets.common import WNDense, WNDenseSplit, cat
 from particle_fm_tpu.ops.attention import attention
 
 
@@ -41,16 +41,30 @@ class MDMABlock(nn.Module):
         dense = lambda feats, name: WNDense(
             feats, use_weight_norm=False, dtype=self.dtype, name=name
         )
+        sdense = lambda feats, name: WNDenseSplit(
+            feats, use_weight_norm=False, dtype=self.dtype, name=name
+        )
         res = x
-        if self.t_local_cat:
-            x = cat(x, t_in)
+        # t (and cond) are constant across the particle axis, so the local
+        # concats ride WNDenseSplit (identical parameter layout to Dense on
+        # the concat: x @ W_x + broadcast(set_segs @ W_set)) instead of
+        # materializing (B, N, hidden + extras) buffers per block — same
+        # concat-free trick as the EPiC local MLPs / transformer MLPBlock.
+        t_set = t_in[:, 0, :] if self.t_local_cat else None
+        cond_set = cond[:, 0, -1:] if self.local_cat_cond else None
         if self.t_global_cat:
             x_cls = cat(x_cls, t_in[:, :1, :])
         if self.global_cat_cond:
             x_cls = cat(x_cls, cond[..., -1:])
-        if self.local_cat_cond:
-            x = cat(x, jnp.broadcast_to(cond[..., -1:], x.shape[:-1] + (1,)))
-        x = dense(self.hidden, "fc0")(act(x))
+        # fc0(act(cat(x, t, cond))): act is elementwise, so it distributes
+        # over the segments
+        x = sdense(self.hidden, "fc0")(
+            [
+                (act(x), "particle"),
+                (act(t_set) if t_set is not None else None, "set"),
+                (act(cond_set) if cond_set is not None else None, "set"),
+            ]
+        )
         x_cls = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(dense(self.hidden, "fc0_cls")(act(x_cls)))
 
         # class token attends over particles (torch nn.MultiheadAttention equiv:
@@ -70,10 +84,9 @@ class MDMABlock(nn.Module):
         if self.global_cat_cond:
             x_cls = cat(x_cls, cond[..., -1:])
         x_cls = dense(self.embed_dim, "fc2_cls")(x_cls)
-        if self.local_cat_cond:
-            x = cat(x, jnp.broadcast_to(cond[..., -1:], x.shape[:-1] + (1,)))
-        x = dense(self.hidden, "fc1")(
-            cat(x, jnp.broadcast_to(x_cls, x.shape[:-1] + (x_cls.shape[-1],)))
+        # fc1(cat(x, cond, x_cls_broadcast)) + res, concat-free
+        x = sdense(self.hidden, "fc1")(
+            [(x, "particle"), (cond_set, "set"), (x_cls[:, 0, :], "set")]
         ) + res
         return x, x_cls
 
@@ -103,13 +116,18 @@ class MDMA(nn.Module):
         dense = lambda feats, name: WNDense(
             feats, use_weight_norm=False, dtype=self.dtype, name=name
         )
+        sdense = lambda feats, name: WNDenseSplit(
+            feats, use_weight_norm=False, dtype=self.dtype, name=name
+        )
         if mask is None:
             mask = jnp.ones_like(x[..., :1])
-        if self.t_local_cat:
-            x = cat(x, t)
-        if self.local_cat_cond:
-            x = cat(x, jnp.broadcast_to(cond[..., -1:][:, None, :], x.shape[:-1] + (1,)))
-        x = act(dense(self.hidden_dim, "embed")(x))
+        t_set = t[:, 0, :] if self.t_local_cat else None
+        cond_set = cond[..., -1:] if self.local_cat_cond else None
+        x = act(
+            sdense(self.hidden_dim, "embed")(
+                [(x, "particle"), (t_set, "set"), (cond_set, "set")]
+            )
+        )
         x = x * mask
 
         # class token init: scaled sum pooling + multiplicity (+ cond)
@@ -140,7 +158,10 @@ class MDMA(nn.Module):
                 name=f"block_{i}",
             )(x, x_cls, cond_vec, mask, t_in=t, deterministic=deterministic)
 
-        if self.local_cat_cond:
-            x = cat(x, jnp.broadcast_to(cond[..., -1:][:, None, :], x.shape[:-1] + (1,)))
-        x = dense(self.out_features, "out")(act(x))
+        x = sdense(self.out_features, "out")(
+            [
+                (act(x), "particle"),
+                (act(cond_set) if cond_set is not None else None, "set"),
+            ]
+        )
         return x * mask

@@ -457,14 +457,21 @@ def test_full_crossattention_forward_parity(ref):
     assert_close(out, out_ref, what="FullCrossAttentionEncoder forward")
 
 
-def test_mdma_forward_parity(ref):
-    """MDMA (mdma.py:87-176) vs flax twin, incl. nn.MultiheadAttention split."""
+@pytest.mark.parametrize("cat_cond", [False, True])
+def test_mdma_forward_parity(ref, cat_cond):
+    """MDMA (mdma.py:87-176) vs flax twin, incl. nn.MultiheadAttention split.
+
+    cat_cond=True exercises the local_cat_cond/global_cat_cond concat paths
+    (now concat-free WNDenseSplit segments on the flax side)."""
     from particle_fm_tpu.nets.mdma import MDMA
 
     B, N, F, f = 4, 10, 3, 3
     x, mask = _cloud(B, N, F, seed=6)
     rs = np.random.RandomState(7)
     t_emb = np.repeat(rs.rand(B, 1, 2 * f).astype(np.float32), N, axis=1)
+
+    gcd = 1 if cat_cond else 0
+    cond = rs.rand(B, 1).astype(np.float32) if cat_cond else None
 
     tnet = ref.mdma.MDMA(
         latent=8,
@@ -473,14 +480,19 @@ def test_mdma_forward_parity(ref):
         layers=2,
         num_heads=4,
         frequencies=f,
-        global_cond_dim=0,
+        global_cond_dim=gcd,
         t_local_cat=True,
         t_global_cat=True,
         avg_n=30,
+        local_cat_cond=cat_cond,
+        global_cat_cond=cat_cond,
     ).eval()
     with torch.no_grad():
         out_ref = tnet(
-            torch.from_numpy(t_emb), torch.from_numpy(x), None, torch.from_numpy(mask)
+            torch.from_numpy(t_emb),
+            torch.from_numpy(x),
+            torch.from_numpy(cond) if cond is not None else None,
+            torch.from_numpy(mask),
         )
 
     jnet = MDMA(
@@ -490,13 +502,21 @@ def test_mdma_forward_parity(ref):
         layers=2,
         num_heads=4,
         frequencies=f,
+        global_cond_dim=gcd,
         t_local_cat=True,
         t_global_cat=True,
         avg_n=30,
+        local_cat_cond=cat_cond,
+        global_cat_cond=cat_cond,
     )
     import jax
 
-    args = (jnp.asarray(t_emb), jnp.asarray(x), None, jnp.asarray(mask))
+    args = (
+        jnp.asarray(t_emb),
+        jnp.asarray(x),
+        jnp.asarray(cond) if cond is not None else None,
+        jnp.asarray(mask),
+    )
     template = jnet.init(jax.random.PRNGKey(0), *args)["params"]
     params = graft(dict(template), mdma_net(tnet))
     out = jnet.apply({"params": params}, *args)
