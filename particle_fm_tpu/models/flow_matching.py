@@ -167,11 +167,17 @@ class FlowMatchingModel:
         mask: jnp.ndarray | None = None,
         cond: jnp.ndarray | None = None,
         train: bool = False,
+        vf_fn=None,
     ) -> tuple[jnp.ndarray, dict]:
         """Masked training/val loss. Returns (loss, updated_norm_stats).
 
         When `use_normaliser` and train=True, x/cond are standardized in-model
         and the running stats are updated (reference training_step:512-522).
+
+        `vf_fn(variables, t, y, cond, mask)` optionally overrides the vector
+        field — the injection point for the pipeline-parallel forward
+        (parallel/pp.py), which must bypass module.apply to stage the layer
+        stack over the mesh.
         """
         new_stats = {}
         if self.use_normaliser:
@@ -201,6 +207,8 @@ class FlowMatchingModel:
                     cond = self.module.apply(variables, cond, method="normalise_cond")
 
         def vf(t, y, c, m):
+            if vf_fn is not None:
+                return vf_fn(variables, t, y, cond=c, mask=m)
             return self.module.apply(variables, t, y, cond=c, mask=m)
 
         loss = self._loss_fn(vf, rng, x, mask, cond)

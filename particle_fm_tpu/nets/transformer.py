@@ -330,6 +330,30 @@ def _default_embd_dims(model_dim: int, *cfgs: dict) -> None:
         cfg.setdefault("hddn_dim", 2 * model_dim)
 
 
+def resolve_fte_configs(
+    te_config: Mapping[str, Any],
+    node_embd_config: Mapping[str, Any],
+    outp_embd_config: Mapping[str, Any],
+    ctxt_embd_config: Mapping[str, Any],
+) -> tuple[dict, dict, dict, dict, int]:
+    """Resolve FullTransformerEncoder sub-configs (shared with parallel/pp.py
+    so the pipelined re-composition cannot drift from __call__):
+    returns (te_config, node_cfg, outp_cfg, ctxt_cfg, model_dim) with the
+    2*model_dim embedder-width defaults applied."""
+    te_config = dict(te_config)
+    node_cfg = dict(node_embd_config)
+    outp_cfg = dict(outp_embd_config)
+    ctxt_cfg = dict(ctxt_embd_config)
+    te_config.setdefault("dense_config", {})
+    te_config["dense_config"] = dict(te_config["dense_config"])
+    if "model_dim" in te_config:
+        _default_embd_dims(
+            te_config["model_dim"], node_cfg, ctxt_cfg, outp_cfg, te_config["dense_config"]
+        )
+    model_dim = te_config.get("model_dim", 64)
+    return te_config, node_cfg, outp_cfg, ctxt_cfg, model_dim
+
+
 class FullTransformerEncoder(nn.Module):
     """Node/ctxt/output embedders around a TransformerEncoder.
 
@@ -346,17 +370,9 @@ class FullTransformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, t, x, cond=None, mask=None, deterministic: bool = True):
-        te_config = dict(self.te_config)
-        node_cfg = dict(self.node_embd_config)
-        outp_cfg = dict(self.outp_embd_config)
-        ctxt_cfg = dict(self.ctxt_embd_config)
-        te_config.setdefault("dense_config", {})
-        te_config["dense_config"] = dict(te_config["dense_config"])
-        if "model_dim" in te_config:
-            _default_embd_dims(
-                te_config["model_dim"], node_cfg, ctxt_cfg, outp_cfg, te_config["dense_config"]
-            )
-        model_dim = te_config.get("model_dim", 64)
+        te_config, node_cfg, outp_cfg, ctxt_cfg, model_dim = resolve_fte_configs(
+            self.te_config, self.node_embd_config, self.outp_embd_config, self.ctxt_embd_config
+        )
 
         kv_mask = mask[..., 0] if mask is not None else None
         ctxt = None

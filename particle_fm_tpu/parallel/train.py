@@ -75,9 +75,10 @@ def _build_step_fn(
     ema_decay: float = 0.999,
     ema_every_n: int = 1,
     ema_start_step: int = 0,
+    vf_fn=None,
 ) -> Callable:
-    """The un-jitted training step body (shared by make_train_step and
-    make_train_epoch)."""
+    """The un-jitted training step body (shared by make_train_step,
+    make_train_epoch, and pp.make_train_step_pp via `vf_fn`)."""
 
     def step_fn(state: TrainState, rng: jax.Array, x, mask, cond):
         rng = jax.random.fold_in(rng, state.step)
@@ -86,7 +87,10 @@ def _build_step_fn(
             variables = {"params": params}
             if state.norm_stats:
                 variables["norm_stats"] = state.norm_stats
-            loss, new_stats = model.loss(variables, rng, x, mask=mask, cond=cond, train=True)
+            extra = {} if vf_fn is None else {"vf_fn": vf_fn}
+            loss, new_stats = model.loss(
+                variables, rng, x, mask=mask, cond=cond, train=True, **extra
+            )
             return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -79,8 +79,13 @@ class Trainer:
     #   dp_tp  Megatron-style tensor parallelism on the EPiC local MLPs over
     #          a 'model' axis of size model_axis_size (parallel/tp.py)
     #   sp     sequence parallelism: the particle axis sharded over 'model'
+    #   pp     GPipe pipeline parallelism over the droid transformer layer
+    #          stack: model_axis_size stages on a ('pipe',) mesh, activations
+    #          rotated via ppermute (parallel/pp.py); droid_fulltransformer
+    #          only, num_layers % stages == 0, batch % pp_microbatches == 0
     strategy: str = "dp"
     model_axis_size: int = 2
+    pp_microbatches: int = 8
 
     # populated at runtime
     state: TrainState = None
@@ -101,13 +106,21 @@ class Trainer:
             self.ckpt_dir = None
             self.log_dir = None
             self.verbose = False
-        if self.strategy not in ("dp", "fsdp", "dp_tp", "sp"):
+        if self.strategy not in ("dp", "fsdp", "dp_tp", "sp", "pp"):
             raise ValueError(
                 f"unknown trainer.strategy {self.strategy!r} "
-                "(expected dp | fsdp | dp_tp | sp)"
+                "(expected dp | fsdp | dp_tp | sp | pp)"
             )
         if self.mesh is None:
-            if self.strategy in ("dp_tp", "sp"):
+            if self.strategy == "pp":
+                from particle_fm_tpu.parallel.pp import make_pipe_mesh
+
+                # size-1 'data' axis keeps the trainer's batch/cache helpers
+                # working unchanged (batches replicate across the stages)
+                self.mesh = make_pipe_mesh(
+                    stages=self.model_axis_size, with_data_axis=True
+                )
+            elif self.strategy in ("dp_tp", "sp"):
                 n = jax.device_count()
                 tp = self.model_axis_size
                 if n % tp:
@@ -122,22 +135,43 @@ class Trainer:
             # the scanned-epoch path places batches with stacked (data-only)
             # shardings; run SP through the per-step path instead
             self.scan_epochs = False
+        if self.strategy == "pp" and self.scan_epochs:
+            # PP runs through the per-step path (the scanned-epoch builder
+            # has no vf_fn hook); the pipeline's own M+S-1-tick scan already
+            # amortizes dispatch overhead
+            self.scan_epochs = False
         # multi-host: callbacks still COMPUTE on every process (deterministic
         # seeds keep metrics — and thus early-stopping control flow —
         # identical across hosts) but only rank 0 writes artifact files;
         # callbacks consult this instead of log_dir to avoid the "." fallback
         # racing N hosts into the same cwd paths
         self.artifacts_dir = (self.log_dir or ".") if self._rank0 else None
-        self.train_step = make_train_step(
-            self.model,
-            self.optimizer,
-            ema_decay=self.ema_decay,
-            ema_every_n=self.ema_every_n,
-            ema_start_step=self.ema_start_step,
-            mesh=self.mesh,
-            sp=self.strategy == "sp",
-        )
-        self.eval_step = make_eval_step(self.model, mesh=self.mesh)
+        if self.strategy == "pp":
+            from particle_fm_tpu.parallel.pp import make_train_step_pp
+
+            self.train_step = make_train_step_pp(
+                self.model,
+                self.optimizer,
+                self.mesh,
+                microbatches=self.pp_microbatches,
+                ema_decay=self.ema_decay,
+                ema_every_n=self.ema_every_n,
+                ema_start_step=self.ema_start_step,
+            )
+            # eval/val runs the unpipelined loss — identical numerics, and
+            # the size-1 data axis means batches are effectively replicated
+            self.eval_step = make_eval_step(self.model, mesh=self.mesh)
+        else:
+            self.train_step = make_train_step(
+                self.model,
+                self.optimizer,
+                ema_decay=self.ema_decay,
+                ema_every_n=self.ema_every_n,
+                ema_start_step=self.ema_start_step,
+                mesh=self.mesh,
+                sp=self.strategy == "sp",
+            )
+            self.eval_step = make_eval_step(self.model, mesh=self.mesh)
         self.train_epoch = (
             make_train_epoch(
                 self.model,
