@@ -240,12 +240,17 @@ class MultiHeadedAttentionBlock(nn.Module):
 
 
 class TransformerEncoderLayer(nn.Module):
-    """Pre-LN residual self-attention + residual ctxt-conditioned dense."""
+    """Pre-LN residual self-attention + residual ctxt-conditioned dense.
+
+    With `moe_config` set, the dense block is an expert-choice MoE
+    (nets/moe.ExpertChoiceMoE) instead of the DenseNetwork — beyond the
+    reference; unpicked tokens ride the residual connection unchanged."""
 
     model_dim: int
     mha_config: Mapping[str, Any] = FrozenDict()
     dense_config: Mapping[str, Any] = FrozenDict()
     ctxt_dim: int = 0
+    moe_config: Mapping[str, Any] | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -259,13 +264,24 @@ class TransformerEncoderLayer(nn.Module):
             **dict(self.mha_config),
         )(h, kv_mask=mask, attn_bias=attn_bias, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        x = x + DenseNetwork(
-            outp_dim=self.model_dim,
-            ctxt_dim=self.ctxt_dim,
-            dtype=self.dtype,
-            name="dense",
-            **dict(self.dense_config),
-        )(h, ctxt, deterministic)
+        if self.moe_config is not None:
+            from particle_fm_tpu.nets.moe import ExpertChoiceMoE
+
+            x = x + ExpertChoiceMoE(
+                outp_dim=self.model_dim,
+                ctxt_dim=self.ctxt_dim,
+                dtype=self.dtype,
+                name="moe",
+                **dict(self.moe_config),
+            )(h, mask=mask, ctxt=ctxt, deterministic=deterministic)
+        else:
+            x = x + DenseNetwork(
+                outp_dim=self.model_dim,
+                ctxt_dim=self.ctxt_dim,
+                dtype=self.dtype,
+                name="dense",
+                **dict(self.dense_config),
+            )(h, ctxt, deterministic)
         return x
 
 
@@ -308,6 +324,7 @@ class TransformerEncoder(nn.Module):
     mha_config: Mapping[str, Any] = FrozenDict()
     dense_config: Mapping[str, Any] = FrozenDict()
     ctxt_dim: int = 0
+    moe_config: Mapping[str, Any] | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -318,6 +335,7 @@ class TransformerEncoder(nn.Module):
                 self.mha_config,
                 self.dense_config,
                 self.ctxt_dim,
+                moe_config=self.moe_config,
                 dtype=self.dtype,
                 name=f"layer_{i}",
             )(x, mask, ctxt, attn_bias, deterministic)

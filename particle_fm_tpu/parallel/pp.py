@@ -54,21 +54,36 @@ except ImportError:  # pragma: no cover - older jax
 
 
 def make_pipe_mesh(
-    stages: int | None = None, devices=None, with_data_axis: bool = False
+    stages: int | None = None,
+    devices=None,
+    with_data_axis: bool = False,
+    data: int = 1,
 ) -> Mesh:
     """('pipe',) mesh over `stages` devices (default: all).
 
     `with_data_axis=True` prepends a size-1 'data' axis so the mesh is
-    drop-in compatible with the trainer's data-sharding helpers (the batch
-    "shards" over the trivial axis, i.e. stays replicated across stages)."""
+    drop-in compatible with the trainer's batch-sharding helpers (the batch
+    "shards" over the trivial axis, i.e. stays replicated across stages).
+
+    `data > 1` builds the dp×pp composition: a ('data', 'pipe') mesh of
+    `data` independent pipelines of `stages` stages each.  Stage neighbours
+    are consecutive devices (the reshape keeps each pipeline's rotation on
+    adjacent ICI links); the batch shards over 'data' and gradient
+    all-reduce across replicas is inserted by GSPMD outside the pipeline's
+    shard_map."""
     if devices is None:
         devices = jax.devices()
     if stages is None:
-        stages = len(devices)
-    arr = np.array(devices[:stages])
-    if with_data_axis:
-        return Mesh(arr.reshape(1, stages), ("data", "pipe"))
-    return Mesh(arr, ("pipe",))
+        stages = len(devices) // data
+    if data > 1 or with_data_axis:
+        need = data * stages
+        if len(devices) < need:
+            raise ValueError(
+                f"dp_pp mesh needs data*stages = {need} devices, have {len(devices)}"
+            )
+        arr = np.array(devices[:need]).reshape(data, stages)
+        return Mesh(arr, ("data", "pipe"))
+    return Mesh(np.array(devices[:stages]), ("pipe",))
 
 
 def stack_layer_params(te_params: dict, num_layers: int) -> dict:
@@ -99,6 +114,13 @@ def pipeline_layers(
     masked psum — both are deliberate simplicity/HBM trade-offs that cost
     O(B) memory and one all-reduce; at droid scale (B*N*D ~ MBs) they are
     noise next to the layer FLOPs.
+
+    If the mesh also has a 'data' axis (dp×pp, make_pipe_mesh(data=D)), the
+    batch axis shards over it and each data-replica runs its own complete
+    pipeline on its local rows — the microbatch split happens INSIDE the
+    shard body on the local shard, so composing dp costs no batch
+    collective at all (the gradient all-reduce over 'data' is GSPMD's,
+    outside this function).
     """
     S = mesh.shape[axis]
     M = microbatches
@@ -106,17 +128,29 @@ def pipeline_layers(
     if L % S != 0:
         raise ValueError(f"num_layers ({L}) must be divisible by pipeline stages ({S})")
     B = h.shape[0]
-    if B % M != 0:
-        raise ValueError(f"batch ({B}) must be divisible by microbatches ({M})")
-    mb = B // M
-
-    hs = h.reshape(M, mb, *h.shape[1:])
-    masks = None if kv_mask is None else kv_mask.reshape(M, mb, *kv_mask.shape[1:])
-    ctxts = None if ctxt is None else ctxt.reshape(M, mb, *ctxt.shape[1:])
+    data_axis = "data" if "data" in mesh.axis_names else None
+    D = mesh.shape[data_axis] if data_axis else 1
+    if B % (M * D) != 0:
+        raise ValueError(
+            f"batch ({B}) must be divisible by microbatches*data ({M}*{D})"
+        )
 
     fwd_perm = [(i, i + 1) for i in range(S - 1)]
+    batch_spec = P(data_axis) if data_axis else P()
 
-    def stage_body(local_params, hs, masks, ctxts):
+    def stage_body(local_params, h, kv_mask, ctxt):
+        # local microbatch split: (B/D, ...) -> (M, B/(D*M), ...)
+        hs = h.reshape(M, h.shape[0] // M, *h.shape[1:])
+        masks = (
+            None
+            if kv_mask is None
+            else kv_mask.reshape(M, kv_mask.shape[0] // M, *kv_mask.shape[1:])
+        )
+        ctxts = (
+            None
+            if ctxt is None
+            else ctxt.reshape(M, ctxt.shape[0] // M, *ctxt.shape[1:])
+        )
         stage = jax.lax.axis_index(axis)
         is_first = stage == 0
         is_last = stage == S - 1
@@ -166,17 +200,17 @@ def pipeline_layers(
         (_, outbuf), _ = jax.lax.scan(tick, (act0, outbuf0), jnp.arange(M + S - 1))
         # only the last stage's buffer is real; mask + psum replicates it
         outbuf = jnp.where(is_last, outbuf, jnp.zeros_like(outbuf))
-        return jax.lax.psum(outbuf, axis)
+        outbuf = jax.lax.psum(outbuf, axis)
+        return outbuf.reshape(h.shape)
 
-    none_spec_masks = P() if masks is not None else None
-    none_spec_ctxts = P() if ctxts is not None else None
-    out = shard_map(
+    mask_spec = batch_spec if kv_mask is not None else None
+    ctxt_spec = batch_spec if ctxt is not None else None
+    return shard_map(
         stage_body,
         mesh=mesh,
-        in_specs=(P(axis), P(), none_spec_masks, none_spec_ctxts),
-        out_specs=P(),
-    )(stacked_params, hs, masks, ctxts)
-    return out.reshape(B, *h.shape[1:])
+        in_specs=(P(axis), batch_spec, mask_spec, ctxt_spec),
+        out_specs=batch_spec,
+    )(stacked_params, h, kv_mask, ctxt)
 
 
 def _fte_apply_pipelined(fte, params: dict, mesh, microbatches, t, x, cond, mask):
@@ -217,6 +251,7 @@ def _fte_apply_pipelined(fte, params: dict, mesh, microbatches, t, x, cond, mask
         te_cfg.get("mha_config", {}),
         te_cfg["dense_config"],
         ctxt_dim=ctxt_out,
+        moe_config=te_cfg.get("moe_config"),
         dtype=fte.dtype,
     )
 
@@ -306,12 +341,15 @@ def make_train_step_pp(
 ):
     """Jitted train step with the vector field pipelined over mesh['pipe'].
 
-    State/batch live replicated on the pipe mesh (pure PP — the analogue of
-    parallel/train.py's pure-DP default); the layer-stack shards and the
-    stage rotation happen inside the step via shard_map.  Gradients for the
-    staged layers are computed by AD's reverse pipeline and land replicated,
-    so the optimizer update is identical to the single-device step
+    State lives replicated; the layer-stack shards and the stage rotation
+    happen inside the step via shard_map.  Gradients for the staged layers
+    are computed by AD's reverse pipeline and land replicated, so the
+    optimizer update is identical to the single-device step
     (tests/test_pp.py::test_pp_train_step_matches_dp).
+
+    On a ('data', 'pipe') mesh (make_pipe_mesh(data=D)) the batch shards
+    over 'data' — D independent pipelines, gradient all-reduce across them
+    inserted by GSPMD (dp×pp; tests/test_pp.py::test_dp_pp_*).
     """
     from particle_fm_tpu.parallel.train import _build_step_fn
 
@@ -324,4 +362,15 @@ def make_train_step_pp(
         ema_start_step=ema_start_step,
         vf_fn=vf,
     )
+    if "data" in mesh.axis_names:
+        from particle_fm_tpu.parallel.mesh import batch_sharding, replicated
+
+        repl = replicated(mesh)
+        data = batch_sharding(mesh)
+        return jax.jit(
+            step_fn,
+            in_shardings=(None, repl, data, data, data),
+            out_shardings=(None, repl),
+            donate_argnums=(0,),
+        )
     return jax.jit(step_fn, donate_argnums=(0,))

@@ -48,6 +48,18 @@ def transformer_tp_rules() -> list[tuple[str, P]]:
     ]
 
 
+def moe_ep_rules() -> list[tuple[str, P]]:
+    """Expert parallelism: shard the leading expert axis of the stacked MoE
+    params (nets/moe.ExpertChoiceMoE: w1/b1 (E, ...), w2/b2 (E, ...)) over
+    'model'. The dispatch/combine einsums ('becn,bnd->becd' etc.) contract
+    against batch-sharded tokens, so GSPMD inserts the expert all-to-all/
+    all-gather — expert parallelism is a placement, not a code path."""
+    return [
+        (r".*moe/(w1|w2)$", P("model", None, None)),
+        (r".*moe/(b1|b2)$", P("model", None)),
+    ]
+
+
 def _spec_for(path: str, shape, rules) -> P:
     for pattern, spec in rules:
         if re.match(pattern, path):

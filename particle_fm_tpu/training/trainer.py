@@ -83,6 +83,13 @@ class Trainer:
     #          stack: model_axis_size stages on a ('pipe',) mesh, activations
     #          rotated via ppermute (parallel/pp.py); droid_fulltransformer
     #          only, num_layers % stages == 0, batch % pp_microbatches == 0
+    #   dp_pp  dp x pp: device_count/model_axis_size independent pipelines
+    #          on a ('data','pipe') mesh, batch sharded over 'data',
+    #          gradient all-reduce across replicas via GSPMD
+    #   dp_ep  expert parallelism: the stacked MoE expert params (models with
+    #          te_config.moe_config, nets/moe.py) shard their expert axis
+    #          over a 'model' axis of size model_axis_size (parallel/tp.py::
+    #          moe_ep_rules); GSPMD turns dispatch/combine into collectives
     strategy: str = "dp"
     model_axis_size: int = 2
     pp_microbatches: int = 8
@@ -106,21 +113,31 @@ class Trainer:
             self.ckpt_dir = None
             self.log_dir = None
             self.verbose = False
-        if self.strategy not in ("dp", "fsdp", "dp_tp", "sp", "pp"):
+        if self.strategy not in ("dp", "fsdp", "dp_tp", "sp", "pp", "dp_pp", "dp_ep"):
             raise ValueError(
                 f"unknown trainer.strategy {self.strategy!r} "
-                "(expected dp | fsdp | dp_tp | sp | pp)"
+                "(expected dp | fsdp | dp_tp | sp | pp | dp_pp | dp_ep)"
             )
         if self.mesh is None:
-            if self.strategy == "pp":
+            if self.strategy in ("pp", "dp_pp"):
                 from particle_fm_tpu.parallel.pp import make_pipe_mesh
 
-                # size-1 'data' axis keeps the trainer's batch/cache helpers
-                # working unchanged (batches replicate across the stages)
-                self.mesh = make_pipe_mesh(
-                    stages=self.model_axis_size, with_data_axis=True
-                )
-            elif self.strategy in ("dp_tp", "sp"):
+                stages = self.model_axis_size
+                if self.strategy == "dp_pp":
+                    n = jax.device_count()
+                    if n % stages:
+                        raise ValueError(
+                            f"strategy=dp_pp needs device_count ({n}) "
+                            f"divisible by model_axis_size ({stages})"
+                        )
+                    # D independent pipelines, batch sharded over 'data'
+                    self.mesh = make_pipe_mesh(stages=stages, data=n // stages)
+                else:
+                    # size-1 'data' axis keeps the trainer's batch/cache
+                    # helpers working unchanged (batches replicate across
+                    # the stages)
+                    self.mesh = make_pipe_mesh(stages=stages, with_data_axis=True)
+            elif self.strategy in ("dp_tp", "sp", "dp_ep"):
                 n = jax.device_count()
                 tp = self.model_axis_size
                 if n % tp:
@@ -135,7 +152,7 @@ class Trainer:
             # the scanned-epoch path places batches with stacked (data-only)
             # shardings; run SP through the per-step path instead
             self.scan_epochs = False
-        if self.strategy == "pp" and self.scan_epochs:
+        if self.strategy in ("pp", "dp_pp") and self.scan_epochs:
             # PP runs through the per-step path (the scanned-epoch builder
             # has no vf_fn hook); the pipeline's own M+S-1-tick scan already
             # amortizes dispatch overhead
@@ -146,7 +163,7 @@ class Trainer:
         # callbacks consult this instead of log_dir to avoid the "." fallback
         # racing N hosts into the same cwd paths
         self.artifacts_dir = (self.log_dir or ".") if self._rank0 else None
-        if self.strategy == "pp":
+        if self.strategy in ("pp", "dp_pp"):
             from particle_fm_tpu.parallel.pp import make_train_step_pp
 
             self.train_step = make_train_step_pp(
@@ -247,6 +264,10 @@ class Trainer:
             from particle_fm_tpu.parallel.tp import epic_tp_rules, shard_state
 
             return shard_state(state, self.mesh, epic_tp_rules())
+        if self.strategy == "dp_ep":
+            from particle_fm_tpu.parallel.tp import moe_ep_rules, shard_state
+
+            return shard_state(state, self.mesh, moe_ep_rules())
         return replicate(state, self.mesh)
 
     # ---------------------------------------------------------------- fit

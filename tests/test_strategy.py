@@ -1,4 +1,5 @@
-"""trainer.strategy: CLI-selectable parallelism (dp / fsdp / dp_tp / sp).
+"""trainer.strategy: CLI-selectable parallelism
+(dp / fsdp / dp_tp / sp / pp / dp_pp / dp_ep).
 
 Beyond-reference (the reference's only mode is Lightning DDP == "dp",
 configs/trainer/ddp.yaml); round-2 VERDICT flagged that the FSDP/TP/SP
@@ -100,10 +101,12 @@ def test_sharded_checkpoint_roundtrip(tmp_path, mesh):
     assert np.isfinite(float(loss))
 
 
-def test_train_cli_strategy_pp(tmp_path):
+@pytest.mark.parametrize("strategy,stages", [("pp", 4), ("dp_pp", 2)])
+def test_train_cli_strategy_pp(tmp_path, strategy, stages):
     """Pipeline parallelism from the CLI: the droid transformer trains with
-    its layer stack split over 4 stages (parallel/pp.py) and produces a
-    finite loss + checkpoint."""
+    its layer stack split over `stages` stages (parallel/pp.py) — pure pp,
+    and dp x pp with the batch sharded over 4 two-stage pipelines — and
+    produces a finite loss + checkpoint."""
     from particle_fm_tpu.train import main
 
     metrics = main(
@@ -124,14 +127,48 @@ def test_train_cli_strategy_pp(tmp_path):
             "trainer=smoke",
             "trainer.max_epochs=2",
             "trainer.save_last_every_n_epoch=1",
-            "trainer.strategy=pp",
-            "trainer.model_axis_size=4",
+            f"trainer.strategy={strategy}",
+            f"trainer.model_axis_size={stages}",
             "trainer.pp_microbatches=4",
             "callbacks=none",
             f"output_dir={tmp_path}/run",
         ]
     )
     assert np.isfinite(metrics["val_loss"]), "pp val_loss not finite"
+    run_dir = sorted(glob.glob(f"{tmp_path}/run/*"))[-1]
+    assert os.path.exists(os.path.join(run_dir, "checkpoints", "last"))
+
+
+def test_train_cli_strategy_dp_ep(tmp_path):
+    """Expert parallelism from the CLI: the droid transformer with MoE dense
+    blocks (te_config.moe_config) trains with the expert axis sharded over a
+    4x2 ('data','model') mesh and produces a finite loss + checkpoint."""
+    from particle_fm_tpu.train import main
+
+    metrics = main(
+        [
+            "experiment=jetnet/fm_transformer",
+            "data.synthetic=true",
+            "data.synthetic_num_jets=256",
+            "data.batch_size=64",
+            "data.num_particles=8",
+            "data.variable_jet_sizes=true",
+            "model.num_particles=8",
+            "model.net_config.te_config.model_dim=32",
+            "model.net_config.te_config.num_layers=2",
+            "model.net_config.te_config.mha_config.num_heads=4",
+            "model.net_config.te_config.moe_config.num_experts=4",
+            "model.net_config.te_config.moe_config.hddn_dim=32",
+            "trainer=smoke",
+            "trainer.max_epochs=2",
+            "trainer.save_last_every_n_epoch=1",
+            "trainer.strategy=dp_ep",
+            "trainer.model_axis_size=2",
+            "callbacks=none",
+            f"output_dir={tmp_path}/run",
+        ]
+    )
+    assert np.isfinite(metrics["val_loss"]), "dp_ep val_loss not finite"
     run_dir = sorted(glob.glob(f"{tmp_path}/run/*"))[-1]
     assert os.path.exists(os.path.join(run_dir, "checkpoints", "last"))
 
