@@ -84,14 +84,19 @@ class CaloChallengeDataModule(ArrayDataModule):
         # operates on raw bin indices (reference inverse-transforms, shifts,
         # re-transforms — pad_collate_aug_fn); the scaler is applied per batch
         self._raw_sequences = raw_seqs
+        n = len(raw_seqs)
+        n_val = int(self.val_fraction * n)
+        n_test = int(self.test_fraction * n)
+        n_train = n - n_val - n_test
+        if self.scaler is not None and not getattr(self.scaler, "fitted_", True):
+            # fit on the train split's hits (the reference fits its sklearn
+            # pipelines during preprocessing; with no pre-fitted scaler on
+            # disk we fit here, train-split-only to keep the protocol clean)
+            self.scaler.fit(np.concatenate(raw_seqs[:n_train], axis=0))
         if self.scaler is not None:
             seqs = [self.scaler.transform(s) for s in raw_seqs]
         else:
             seqs = raw_seqs
-        n = len(seqs)
-        n_val = int(self.val_fraction * n)
-        n_test = int(self.test_fraction * n)
-        n_train = n - n_val - n_test
         cond = (np.log(energies) - 10.0).astype(np.float32)
 
         self._splits = {

@@ -85,6 +85,23 @@ class LogitScaler(BaseEstimator, TransformerMixin):
         return z * (self._max - self._min) + self._min
 
 
+class LogTransformer(BaseEstimator, TransformerMixin):
+    """x -> log(x + eps) for strictly-positive heavy-tailed features (hit
+    energies in MeV); inverse is exp - eps."""
+
+    def __init__(self, eps: float = 1e-8):
+        self.eps = eps
+
+    def fit(self, X, y=None):
+        return self
+
+    def transform(self, X, y=None):
+        return np.log(np.maximum(X, 0.0) + self.eps)
+
+    def inverse_transform(self, X, y=None):
+        return np.exp(X) - self.eps
+
+
 class ScalerBase:
     """Per-feature transformer pipeline over flat (P, F) point arrays."""
 
@@ -92,11 +109,13 @@ class ScalerBase:
         self.transfs = transfs
         self.featurenames = featurenames or [f"f{i}" for i in range(len(transfs))]
         self.n_features = len(transfs)
+        self.fitted_ = False
 
     def fit(self, pcs: np.ndarray) -> "ScalerBase":
         assert pcs.ndim == 2 and pcs.shape[1] == self.n_features
         for i, tr in enumerate(self.transfs):
             tr.fit(pcs[:, i : i + 1])
+        self.fitted_ = True
         return self
 
     def transform(self, pcs: np.ndarray) -> np.ndarray:
@@ -116,3 +135,28 @@ class ScalerBase:
             [tr.inverse_transform(flat[:, i : i + 1]) for i, tr in enumerate(self.transfs)]
         )
         return out.reshape(shape).astype(np.float32)
+
+
+def default_calo_scaler(seed: int = 0) -> ScalerBase:
+    """Training-space scaler for CaloChallenge (E, z, alpha, r) hit clouds:
+    E (MeV, heavy-tailed) -> log + standardize; integer voxel coordinates ->
+    dequantize (uniform noise, inverse floors back to the grid) +
+    standardize. The reference trains on a fitted per-feature sklearn
+    pipeline the same way (preprocess_calo_challenge_new.py::ScalerBaseNew);
+    the datamodule fits this on the train split at setup() when no
+    pre-fitted scaler is provided."""
+    from sklearn.pipeline import Pipeline
+    from sklearn.preprocessing import StandardScaler
+
+    def dq_std(s):
+        return Pipeline([("dq", DQ(seed=s)), ("std", StandardScaler())])
+
+    return ScalerBase(
+        [
+            Pipeline([("log", LogTransformer()), ("std", StandardScaler())]),
+            dq_std(seed),
+            dq_std(seed + 1),
+            dq_std(seed + 2),
+        ],
+        featurenames=["E", "z", "alpha", "r"],
+    )
