@@ -136,6 +136,15 @@ class ParTClassifierNet(nn.Module):
     phi_idx: int = 1
     pt_idx: int = 2
     pt_transform: str = "log_scaled"
+    # per-feature z-score stats of the INPUT features (len-F tuples). When
+    # given, the pairwise builder un-normalizes the kinematic columns first —
+    # the analogue of weaver receiving raw lorentz vectors (pf_vectors)
+    # alongside the normalized feature inputs (reference
+    # jetclass_classifiers.py:141-143): the interaction features must be
+    # computed from physical pt/eta/phi, not z-scored pseudo-kinematics
+    # (z-scored "pt" is negative half the time, collapsing lnkt/lnz/lnm2).
+    kin_means: Sequence[float] | None = None
+    kin_stds: Sequence[float] | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -144,9 +153,14 @@ class ParTClassifierNet(nn.Module):
         m = mask[..., 0] if mask is not None else jnp.ones_like(x[..., 0])
 
         # --- pairwise interaction bias (shared by every encoder layer)
-        eta = x[..., self.eta_idx]
-        phi = x[..., self.phi_idx]
-        f_pt = x[..., self.pt_idx]
+        x_kin = x
+        if self.kin_means is not None:
+            mu = jnp.asarray(self.kin_means, dtype=x.dtype)
+            sd = jnp.asarray(self.kin_stds, dtype=x.dtype)
+            x_kin = x * sd + mu
+        eta = x_kin[..., self.eta_idx]
+        phi = x_kin[..., self.phi_idx]
+        f_pt = x_kin[..., self.pt_idx]
         if self.pt_transform == "log_scaled":
             pt = jnp.exp(f_pt / 0.7 + 1.7) * m
         elif self.pt_transform == "log":

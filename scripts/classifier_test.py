@@ -42,6 +42,10 @@ def main():
     )
     ap.add_argument("--n_samples", type=int, default=20000)
     ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument(
+        "--lr", type=float, default=1e-3,
+        help="classifier learning rate (the deep ParT net prefers ~3e-4)",
+    )
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--ode_steps", type=int, default=100)
     args = ap.parse_args()
@@ -108,24 +112,45 @@ def main():
         batch_size=args.batch_size,
     )
     cdm.setup()
+    net_config = {}
+    if args.arch == "part":
+        # generative runs store (etarel, phirel, ptrel): pt is already
+        # linear; pass the datamodule's z-score stats so the pairwise
+        # interaction features are computed from raw kinematics (weaver's
+        # ParT receives raw pf_vectors next to the normalized inputs)
+        net_config = {
+            "pt_transform": "identity",
+            "kin_means": tuple(np.asarray(cdm.means).reshape(-1).tolist()),
+            "kin_stds": tuple(np.asarray(cdm.stds).reshape(-1).tolist()),
+        }
     clf = SetClassifierModel(
         arch=args.arch, n_classes=1,
         num_particles=real.shape[1], features=real.shape[-1],
-        # generative runs store (etarel, phirel, ptrel): pt is already linear
-        net_config={"pt_transform": "identity"} if args.arch == "part" else {},
+        net_config=net_config,
     )
     return _fit_and_report(args, clf, cdm)
 
 
 def _fit_and_report(args, clf, cdm):
     import jax
+    import optax
 
     from particle_fm_tpu.eval.callbacks import ClassifierEvalCallback
     from particle_fm_tpu.parallel.train import make_optimizer
     from particle_fm_tpu.training.trainer import Trainer
 
+    # warmup-cosine: the deep ParT net (8 layers + class attention) stalls at
+    # chance under a cold constant 1e-3 AdamW; the shallow epic/transformer
+    # nets are insensitive to the schedule
+    steps_per_epoch = max(1, len(cdm.train.x) // args.batch_size)
+    total_steps = max(args.epochs * steps_per_epoch, 2)
+    lr = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr,
+        warmup_steps=max(1, min(total_steps // 10, 500)),
+        decay_steps=total_steps,
+    )
     trainer = Trainer(
-        model=clf, datamodule=cdm, optimizer=make_optimizer(lr=1e-3),
+        model=clf, datamodule=cdm, optimizer=make_optimizer(lr=lr),
         max_epochs=args.epochs,
         callbacks=[ClassifierEvalCallback(every_n_epochs=1)],
         verbose=True,

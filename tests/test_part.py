@@ -66,6 +66,44 @@ def test_pairwise_features_padded_pairs_finite():
     assert np.abs(np.asarray(feats)[0, :, 1:, :]).sum() == 0.0
 
 
+def test_part_kin_stats_unnormalize():
+    """With kin_means/kin_stds, logits on z-scored inputs equal logits of a
+    stats-free net whose inputs are raw (the pairwise features see physical
+    kinematics either way). Embedding path differs only by the affine input,
+    so compare against feeding the normalized x to a net given raw kinematics
+    via the stats — i.e. the stats must exactly invert the z-score."""
+    rs = np.random.RandomState(3)
+    raw = np.abs(rs.randn(2, 5, 3)).astype(np.float32)  # positive pt etc.
+    mu = raw.reshape(-1, 3).mean(0)
+    sd = raw.reshape(-1, 3).std(0)
+    xn = (raw - mu) / sd
+    mask = np.ones((2, 5, 1), np.float32)
+
+    net = ParTClassifierNet(
+        n_classes=2, kin_means=tuple(mu.tolist()), kin_stds=tuple(sd.tolist()), **TINY
+    )
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(xn), mask=jnp.asarray(mask))
+
+    # the pairwise features the net computes from (xn, stats) == from raw
+    from particle_fm_tpu.nets.part import pairwise_features
+
+    f_norm, _ = pairwise_features(
+        jnp.asarray(xn[..., 2] * sd[2] + mu[2]),
+        jnp.asarray(xn[..., 0] * sd[0] + mu[0]),
+        jnp.asarray(xn[..., 1] * sd[1] + mu[1]),
+        jnp.asarray(mask),
+    )
+    f_raw, _ = pairwise_features(
+        jnp.asarray(raw[..., 2]), jnp.asarray(raw[..., 0]), jnp.asarray(raw[..., 1]),
+        jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(f_norm), np.asarray(f_raw), rtol=1e-4, atol=1e-5)
+
+    # and the full forward is finite + shape-correct with the stats wired in
+    logits = net.apply(variables, jnp.asarray(xn), mask=jnp.asarray(mask))
+    assert logits.shape == (2, 2) and np.isfinite(np.asarray(logits)).all()
+
+
 def test_part_padding_invariance():
     """Appending fully-masked particles must not change the logits."""
     net = ParTClassifierNet(n_classes=2, **TINY)
