@@ -166,7 +166,7 @@ def main():
     variables = model.init(rng)
     mask = jnp.ones((BATCH, 150, 1))
 
-    def make_run(ode_steps):
+    def make_run(ode_steps, solver=None):
         # close over the weights: a deployed sampler holds its parameters
         # (like the torch reference's module) — re-passing the param pytree
         # per call costs ~25% in per-leaf dispatch overhead on this host.
@@ -179,7 +179,7 @@ def main():
             def body(_, k):
                 out = model.sample(
                     variables, k, n_samples=BATCH, mask=mask,
-                    ode_solver=SOLVER, ode_steps=ode_steps,
+                    ode_solver=solver or SOLVER, ode_steps=ode_steps,
                 )
                 return None, out
 
@@ -194,8 +194,8 @@ def main():
         # reliable fence, so sync on a scalar reduction.
         return float(jnp.sum(out))
 
-    def measure(ode_steps):
-        run = make_run(ode_steps)
+    def measure(ode_steps, solver=None):
+        run = make_run(ode_steps, solver)
         # two warm-up batches (compile + first-execution relay costs), excluded
         materialize(run(jax.random.PRNGKey(1)))
         materialize(run(jax.random.PRNGKey(0)))
@@ -218,6 +218,11 @@ def main():
     # NFE~50 on this config (docs/RESULTS.md quality-vs-NFE study), so this
     # is the fastest setting with headline-equal W1M
     jets_50, _ = measure(26)
+    # ReFlow-distilled setting: ONE Euler step (NFE=1). Same architecture and
+    # weights layout — throughput is weight-independent; the quality evidence
+    # (a rectified student matches the teacher's NFE=100 W1M at NFE=1) is the
+    # flagship ReFlow run in docs/RESULTS.md (scripts/reflow.py).
+    jets_1, _ = measure(2, solver="euler")
 
     # per-arch throughput at NFE=100 (production configs of the other three
     # vector-field families; shorter scan to bound bench wall time)
@@ -284,6 +289,7 @@ def main():
                 "vs_baseline": round(jets_100 / BASELINE_JETS_PER_SEC_NFE100, 3),
                 "nfe198_jets_per_sec": round(jets_198, 2),
                 "nfe50_quality_matched_jets_per_sec": round(jets_50, 2),
+                "reflow_nfe1_jets_per_sec": round(jets_1, 2),
                 "arch_jets_per_sec_nfe100": arch_jets,
                 "train_jets_per_sec": round(train_jets, 2),
                 "flops_per_jet_nfe100": round(flops_per_jet),

@@ -144,6 +144,43 @@ def cfm_ot_loss(
     return _reduce(_criterion(v, u, criterion), mask)
 
 
+def reflow_loss(
+    vf: VF,
+    rng: jax.Array,
+    x: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    cond: jnp.ndarray | None = None,
+    sigma: float = 1e-4,
+    criterion: str = "mse",
+) -> jnp.ndarray:
+    """Rectified-flow (ReFlow) objective: CFM on a FIXED teacher coupling.
+
+    Beyond-reference few-step sampling (Liu et al., "Flow Straight and Fast",
+    arXiv:2209.03003). The batch packs teacher-generated pairs along the
+    feature axis: x = concat(x1, x0) with x1 = teacher sample and x0 the
+    exact prior noise the teacher integrated from (see scripts/reflow.py).
+    The objective is `cfm_loss` with the independent coupling replaced by the
+    deterministic teacher coupling, which straightens the probability path —
+    after one rectification the learned field supports 1-8 step sampling.
+    Time/prior conventions match cfm_loss (t=1 is noise), so `sample()` and
+    every ODE solver work on the student unchanged.
+    """
+    if x.shape[-1] % 2 != 0:
+        raise ValueError("reflow batches must pack concat(x1, x0) pairs")
+    f = x.shape[-1] // 2
+    x1, x0 = x[..., :f], x[..., f:]
+    if mask is None:
+        mask = _ones_mask(x1)
+    rng_t, rng_eps = jax.random.split(rng)
+    t = _sample_t(rng_t, x1.shape[0], x1.dtype)
+    tb = _tb(t, x1)
+    mu_t = (1.0 - tb) * x1 + tb * x0
+    y = mu_t + sigma * _normal(rng_eps, x1.shape, x1.dtype)
+    u = (x0 - x1) * mask
+    v = vf(t, y, cond, mask)
+    return _reduce(_criterion(v, u, criterion), mask)
+
+
 def diffusion_loss(
     vf: VF,
     rng: jax.Array,
@@ -222,6 +259,10 @@ def get_loss_fn(
         )
     if loss_type == "CFM":
         return lambda vf, rng, x, mask=None, cond=None: cfm_loss(
+            vf, rng, x, mask, cond, sigma=sigma, criterion=criterion
+        )
+    if loss_type == "reflow":
+        return lambda vf, rng, x, mask=None, cond=None: reflow_loss(
             vf, rng, x, mask, cond, sigma=sigma, criterion=criterion
         )
     if loss_type == "CFM-OT":
