@@ -53,10 +53,15 @@ def generate_pairs(
     Returns (x1, x0, mask, cond) numpy arrays in normalized space, where
     x1 = teacher sample and x0 = the exact noise it was integrated from.
     """
-    if model.loss_type not in ("FM-OT", "CFM", "CFM-OT", "reflow"):
+    if model.loss_type not in ("FM-OT", "CFM", "CFM-OT", "reflow", "diffusion"):
+        # any teacher whose sampler integrates an ODE from a N(0,1) prior can
+        # be rectified: flow-matching teachers directly, diffusion teachers
+        # through the probability-flow ODE (make_drift's -0.5*beta*(x-eps/sigma)
+        # transform). droid's VE prior is t_max*N(0,1), which the reflow
+        # student's N(0,1) sampler cannot reproduce.
         raise ValueError(
-            "reflow pair generation requires a flow-matching teacher "
-            f"(t=1 prior = N(0,1)); got loss_type={model.loss_type!r}"
+            "reflow pair generation requires an ODE teacher with a N(0,1) "
+            f"prior; got loss_type={model.loss_type!r}"
         )
     if model.use_normaliser:
         raise NotImplementedError(

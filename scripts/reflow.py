@@ -119,6 +119,15 @@ def main():
         )
         print("[reflow] student initialized from teacher weights")
 
+    # make the student dir a first-class run: eval_ckpt.py / evaluate.py can
+    # restore it directly (data stays the TEACHER's datamodule so offline
+    # evaluation compares against the real held-out split)
+    student_cfg = dict(cfg)
+    student_cfg["model"] = dict(cfg["model"], loss_type="reflow")
+    student_cfg["task_name"] = f"reflow_{cfg.get('task_name', 'student')}"
+    with open(os.path.join(out_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(student_cfg, f, sort_keys=False)
+
     s0 = straightness(teacher, tvars, pdm.tensor_val, pdm.val.x[..., pdm.val.x.shape[-1] // 2:],
                       pdm.mask_val, pdm.tensor_conditioning_val)
     trainer = Trainer(

@@ -109,6 +109,18 @@ def test_reflow_e2e_tiny(tmp_path):
 
 def test_generate_pairs_guards():
     m = FlowMatchingModel(model="epic", features=3, num_particles=4,
-                          hidden_dim=8, layers=1, latent=2, loss_type="diffusion")
+                          hidden_dim=8, layers=1, latent=2, loss_type="droid",
+                          droid_t_max=25.0)
     with pytest.raises(ValueError):
         generate_pairs(m, {}, 4, mask=np.ones((4, 4, 1)))
+
+
+def test_generate_pairs_diffusion_teacher():
+    """Diffusion teachers rectify through the probability-flow ODE."""
+    m = FlowMatchingModel(model="epic", features=3, num_particles=4,
+                          hidden_dim=8, layers=1, latent=2, loss_type="diffusion",
+                          diff_config={"max_sr": 0.999, "min_sr": 0.02})
+    v = m.init(jax.random.PRNGKey(0))
+    x1, x0, mk, _ = generate_pairs(m, v, 6, mask=np.ones((6, 4, 1), np.float32),
+                                   batch_size=3, ode_steps=3)
+    assert x1.shape == (6, 4, 3) and np.isfinite(x1).all() and np.isfinite(x0).all()
