@@ -43,33 +43,62 @@ def get_feat_index(names_array, name: str) -> int:
 
 def synthetic_jetclass_file(path: str, num_jets: int = 1000, num_particles: int = 32,
                             num_types: int = 3, seed: int = 0) -> None:
-    """Write a schema-compatible synthetic JetClass h5 (for tests/sandbox)."""
+    """Write a schema-compatible synthetic JetClass h5 (for tests/sandbox).
+
+    Kinematics are physically plausible, JetNet-style (data/synthetic.py):
+    pt-ordered exponential ptrel normalized to sum 1, prong-structured
+    (etarel, dphi) — so generative-quality protocols computed from the
+    constituents (jet-mass W1, EFPs, substructure) are non-degenerate.
+    Class structure remains strongly learnable for the classifier tests:
+    jet type sets the multiplicity distribution, angular width, and prong
+    count (1/2/3 prongs for type%3 = 0/1/2)."""
     import h5py
 
     rs = np.random.RandomState(seed)
-    n = num_jets
+    n, npart = num_jets, num_particles
     types = rs.randint(0, num_types, size=n)
-    # class-dependent structure so classifier tests/demos can actually learn:
-    # each type shifts the multiplicity distribution and the (eta, phi, pt)
-    # spread — crude analogues of prong structure in the real dataset
-    mult_lo = 4 + 2 * (types % 3)
-    mult = np.minimum(
-        rs.randint(0, num_particles - 3, size=n) + mult_lo, num_particles
+    t3 = types % 3
+    # multiplicity: higher-prong classes are fuller; a fraction sits at the
+    # cap like real truncated files
+    mult = np.clip(
+        (npart * rs.beta(3.0 + 1.5 * t3, 1.5, size=n)).astype(int), 3, npart
     )
-    mask = (np.arange(num_particles)[None, :] < mult[:, None]).astype(np.float32)
-    spread = (1.0 + 0.15 * types)[:, None, None]
-    shift = (0.1 * types)[:, None, None]
-    feats = (rs.randn(n, num_particles, 3) * spread + shift).astype(np.float32)
-    feats *= mask[..., None]
+    mult = np.where(rs.rand(n) < 0.25, npart, mult)
+    mask = (np.arange(npart)[None, :] < mult[:, None]).astype(np.float32)
+
+    # ptrel: pt-ordered exponential falloff, normalized to sum 1 per jet
+    raw = rs.exponential(1.0, size=(n, npart)) * mask
+    raw = -np.sort(-raw, axis=1)
+    ptrel = raw / np.maximum(raw.sum(axis=1, keepdims=True), 1e-9)
+
+    # angular structure: per-jet prong centers, class-dependent count/width
+    width = (0.10 + 0.05 * t3)[:, None]
+    nprong = (1 + t3)[:, None]
+    prong_idx = rs.randint(0, 3, size=(n, npart)) % nprong
+    prong_eta = rs.normal(0.0, 0.22, size=(n, 3))
+    prong_phi = rs.normal(0.0, 0.22, size=(n, 3))
+    etarel = np.take_along_axis(prong_eta, prong_idx, axis=1)
+    dphi = np.take_along_axis(prong_phi, prong_idx, axis=1)
+    etarel = (etarel + rs.normal(0.0, 1.0, size=(n, npart)) * width) * mask
+    dphi = (dphi + rs.normal(0.0, 1.0, size=(n, npart)) * width) * mask
+    feats = np.stack(
+        [etarel, dphi, (ptrel * mask)], axis=-1
+    ).astype(np.float32)
+
+    jet_pt = rs.uniform(400, 1000, n)
+    jet_eta = rs.normal(0, 1.5, n)
+    base_mass = np.array(
+        [30.0, 85.0, 175.0, 91.0, 80.0, 125.0, 60.0, 40.0, 173.0, 90.0]
+    )
     jet_features = np.stack(
         [
-            rs.uniform(400, 1000, n),          # jet_pt
-            rs.normal(0, 1.5, n),              # jet_eta
-            rs.uniform(-np.pi, np.pi, n),      # jet_phi
-            rs.uniform(500, 1500, n),          # jet_energy
-            rs.uniform(20, 200, n),            # jet_sdmass
-            mult.astype(float),                # jet_nparticles
-            types.astype(float),               # jet_type
+            jet_pt,                                          # jet_pt
+            jet_eta,                                         # jet_eta
+            rs.uniform(-np.pi, np.pi, n),                    # jet_phi
+            jet_pt * np.cosh(np.clip(jet_eta, -2.5, 2.5)),   # jet_energy
+            base_mass[types % 10] * (1 + rs.normal(0, 0.1, n)),  # jet_sdmass
+            mult.astype(float),                              # jet_nparticles
+            types.astype(float),                             # jet_type
         ],
         axis=-1,
     ).astype(np.float32)
