@@ -490,9 +490,14 @@ class JetNetEvalCallback:
         `used_jet_types` (JetClass)."""
         labels = getattr(dm, f"labels_{self.split}", None)
         names = getattr(dm, "used_jet_types", None)
-        if labels is None or len(labels) < n:
+        if labels is None:
             return {}
-        idx = np.argmax(labels[:n], axis=1)
+        # oversampled generation (num_jet_samples > dataset or negative):
+        # break down over the label-paired prefix instead of silently bailing
+        m = min(n, len(labels), len(real))
+        if m < 16:
+            return {}
+        idx = np.argmax(labels[:m], axis=1)
         names = names or [str(i) for i in range(labels.shape[1])]
         out = {}
         for t, name in enumerate(names):
@@ -500,7 +505,7 @@ class JetNetEvalCallback:
             if sel.sum() < 8:
                 continue
             w1 = calculate_all_wasserstein_metrics(
-                real[:n][sel], gen[sel], calculate_efps=False, **self.w1_kwargs
+                real[:m][sel], gen[:m][sel], calculate_efps=False, **self.w1_kwargs
             )
             out[f"w1m_mean_{name}"] = w1["w1m_mean"]
             out[f"w1p_mean_{name}"] = w1["w1p_mean"]

@@ -48,6 +48,9 @@ class CNF(nn.Module):
     t_emb: str = "sincos"
     dropout: float = 0.0
     sum_scale: float = 1e-2
+    # self-conditioning: the net consumes cat(x, x1_hat) — the reference's
+    # notebook-only CFM variant (notebooks/02, README.md:52), first-class here
+    self_cond: bool = False
     net_config: Mapping[str, Any] = FrozenDict()
     dtype: jnp.dtype | None = None
 
@@ -133,7 +136,12 @@ class CNF(nn.Module):
         cond: jnp.ndarray | None = None,
         mask: jnp.ndarray | None = None,
         deterministic: bool = True,
+        x_sc: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
+        if self.self_cond:
+            x = jnp.concatenate(
+                [x, jnp.zeros_like(x) if x_sc is None else x_sc], axis=-1
+            )
         t_emb = self.time_embedding(t, x.shape[-2]).astype(x.dtype)
         # scalar sampling times produce batch-1 embeddings; broadcast to x's batch
         t_emb = jnp.broadcast_to(t_emb, x.shape[:-1] + (t_emb.shape[-1],))
@@ -168,15 +176,17 @@ class CNFStack(nn.Module):
                     self.global_cond_dim, **dict(self.normaliser_config)
                 )
 
-    def __call__(self, t, x, cond=None, mask=None, deterministic=True):
+    def __call__(self, t, x, cond=None, mask=None, deterministic=True, x_sc=None):
         """Vector field v(t, x): the composition of all flow transforms."""
         for flow in self.flows:
-            x = flow(t, x, cond=cond, mask=mask, deterministic=deterministic)
+            x = flow(t, x, cond=cond, mask=mask, deterministic=deterministic, x_sc=x_sc)
         return x
 
-    def flow_k(self, k: int, t, x, cond=None, mask=None, deterministic=True):
+    def flow_k(self, k: int, t, x, cond=None, mask=None, deterministic=True, x_sc=None):
         """Apply a single flow transform (for per-flow ODE integration)."""
-        return self.flows[k](t, x, cond=cond, mask=mask, deterministic=deterministic)
+        return self.flows[k](
+            t, x, cond=cond, mask=mask, deterministic=deterministic, x_sc=x_sc
+        )
 
     def normalise(self, x, mask=None, update_stats: bool = False):
         return self.normaliser(x, mask, update_stats=update_stats)

@@ -24,7 +24,7 @@ import numpy as np
 from particle_fm_tpu.losses.diffusion import VPDiffusionSchedule
 from particle_fm_tpu.losses.flow_matching import get_loss_fn
 from particle_fm_tpu.models.cnf import CNFStack
-from particle_fm_tpu.samplers.ode import odeint_dopri5, odeint_fixed
+from particle_fm_tpu.samplers.ode import odeint_dopri5, odeint_fixed, odeint_fixed_sc
 from particle_fm_tpu.samplers.sde import ddim_sampler, euler_maruyama_sampler
 
 _FIXED_SOLVERS = ("euler", "midpoint", "heun", "rk4", "ab2", "ab3")
@@ -67,9 +67,22 @@ class FlowMatchingModel:
     # reference behavior; >> data std makes the droid loss generative
     droid_t_max: float = 1.0
     ot_config: Mapping[str, Any] = dataclasses.field(default_factory=dict)
+    # self-conditioning (reference notebook-02-only CFM variant, first-class
+    # here): the net consumes cat(x, x1_hat) where x1_hat = stopgrad(y - t*v)
+    # is its own data-endpoint estimate, fed half the time in training and
+    # carried across integration steps in sampling (odeint_fixed_sc)
+    self_cond: bool = False
     dtype: Any = None  # compute dtype for the network (e.g. jnp.bfloat16)
 
     def __post_init__(self):
+        if self.self_cond:
+            if self.loss_type not in ("FM-OT", "CFM", "CFM-OT", "droid"):
+                raise ValueError(
+                    "self_cond requires a linear-path loss (FM-OT/CFM/CFM-OT/"
+                    f"droid) where x1_hat = y - t*v, got {self.loss_type}"
+                )
+            if self.n_transforms != 1:
+                raise ValueError("self_cond supports n_transforms=1")
         cnf_config = dict(
             model=self.model,
             frequencies=self.frequencies,
@@ -85,6 +98,7 @@ class FlowMatchingModel:
             t_emb=self.t_emb,
             dropout=self.dropout,
             sum_scale=self.sum_scale,
+            self_cond=self.self_cond,
             net_config=dict(self.net_config),
             dtype=self.dtype,
         )
@@ -206,10 +220,32 @@ class FlowMatchingModel:
                 else:
                     cond = self.module.apply(variables, cond, method="normalise_cond")
 
-        def vf(t, y, c, m):
-            if vf_fn is not None:
-                return vf_fn(variables, t, y, cond=c, mask=m)
-            return self.module.apply(variables, t, y, cond=c, mask=m)
+        if self.self_cond and vf_fn is not None:
+            raise ValueError("self_cond is not supported with a vf_fn override (pp)")
+
+        if self.self_cond:
+            rng, rng_sc = jax.random.split(rng)
+
+            def vf(t, y, c, m):
+                # two-pass self-conditioning (notebook-02 semantics): a cold
+                # pass yields the stop-gradient endpoint estimate, fed to the
+                # trained pass for a random half of the sets
+                v0 = self.module.apply(variables, t, y, cond=c, mask=m)
+                x1_hat = jax.lax.stop_gradient(y - t[:, None, None] * v0)
+                if m is not None:
+                    x1_hat = x1_hat * m
+                use = jax.random.bernoulli(rng_sc, 0.5, (y.shape[0], 1, 1))
+                return self.module.apply(
+                    variables, t, y, cond=c, mask=m,
+                    x_sc=jnp.where(use, x1_hat, 0.0),
+                )
+
+        else:
+
+            def vf(t, y, c, m):
+                if vf_fn is not None:
+                    return vf_fn(variables, t, y, cond=c, mask=m)
+                return self.module.apply(variables, t, y, cond=c, mask=m)
 
         loss = self._loss_fn(vf, rng, x, mask, cond)
         return loss, new_stats
@@ -246,6 +282,13 @@ class FlowMatchingModel:
             raise NotImplementedError(
                 "log_prob is not defined for the droid VE prior (t_max != 1): "
                 "the s=1 marginal is x + t_max*z, only approximately Gaussian"
+            )
+        if self.self_cond:
+            raise NotImplementedError(
+                "log_prob with self_cond: the sampled field is history-"
+                "dependent (x1_hat carried across steps), so it is not a "
+                "well-defined instantaneous ODE field for the continuity "
+                "equation"
             )
 
         diff_sched = (
@@ -411,6 +454,21 @@ class FlowMatchingModel:
             z = z * mask
         if cond is not None and self.use_normaliser and self.conditioned:
             cond = module.apply(variables, cond, method="normalise_cond")
+
+        if self.self_cond:
+            # the x1_hat estimate persists across integration steps
+            # (notebook-02 sampling semantics; odeint_fixed_sc docstring)
+            def drift_sc(t, xx, sc):
+                return module.apply(
+                    variables, t, xx, cond=cond, mask=mask, x_sc=sc
+                )
+
+            x = odeint_fixed_sc(
+                drift_sc, z, 1.0, 0.0, ode_steps=ode_steps, method=ode_solver
+            )
+            if self.use_normaliser:
+                x = module.apply(variables, x, mask, method="reverse_norm")
+            return x
 
         x = z
         for k in reversed(range(self.n_transforms)):

@@ -84,6 +84,42 @@ def odeint_fixed(
     return x
 
 
+def odeint_fixed_sc(
+    f,
+    x0: jnp.ndarray,
+    t0: float = 1.0,
+    t1: float = 0.0,
+    ode_steps: int = 100,
+    method: str = "midpoint",
+) -> jnp.ndarray:
+    """Fixed-step integration for SELF-CONDITIONED fields f(t, x, x1_hat).
+
+    The carried x1_hat is the data-endpoint estimate x - t*v from the most
+    recent grid evaluation (zeros at the first step) — the sampling-time
+    analogue of the training-time stop-gradient estimate (the reference's
+    self-conditioning CFM lives only in its notebook 02; here it is a
+    first-class model option, FlowMatchingModel.self_cond). euler/midpoint.
+    """
+    if method not in ("euler", "midpoint"):
+        raise ValueError(f"self-conditioned sampling supports euler/midpoint, got {method}")
+    n = ode_steps - 1
+    dt = (t1 - t0) / n
+
+    def body(carry, k):
+        x, sc = carry
+        t = t0 + k.astype(x0.dtype) * dt
+        v1 = f(t, x, sc)
+        new_sc = x - t * v1
+        if method == "euler":
+            x_new = x + dt * v1
+        else:
+            x_new = x + dt * f(t + 0.5 * dt, x + 0.5 * dt * v1, new_sc)
+        return (x_new, new_sc), None
+
+    (x, _), _ = jax.lax.scan(body, (x0, jnp.zeros_like(x0)), jnp.arange(n))
+    return x
+
+
 def _odeint_adams(f: Drift, x0, t0, t1, ode_steps: int, order: int):
     """Adams-Bashforth multistep (order 2 or 3): ONE drift eval per step
     (midpoint costs two), reusing the history of previous evals —
