@@ -386,6 +386,9 @@ class JetNetEvalCallback:
     # external conditioning h5 with pt/mass/num_particles datasets
     # (reference jetnet_final_eval.py:149-175 cond_path): overrides both
     cond_path: Optional[str] = None
+    # classifier-free guidance weight (beyond reference; requires a model
+    # trained with cond_dropout > 0). None/1.0 = plain conditional sampling.
+    guidance_scale: Optional[float] = None
 
     def _arrays(self, dm):
         real = getattr(dm, f"tensor_{self.split}")
@@ -466,6 +469,7 @@ class JetNetEvalCallback:
             # fixed-size datasets (no mask): generate the DATA's set size, not
             # the model default (guards a model/data num_particles mismatch)
             num_points=int(real.shape[1]),
+            guidance_scale=self.guidance_scale,
         )
         return real, gen, n, gen_time
 
@@ -564,6 +568,7 @@ class FinalEvalCallback(JetNetEvalCallback):
             # like the per-epoch path (:427): guard against model-default vs
             # data set-size mismatch when the datamodule supplies no mask
             num_points=int(real.shape[1]),
+            guidance_scale=self.guidance_scale,
         )
         # None on non-rank-0 hosts: compute metrics everywhere (consistent
         # control flow), write artifacts only on rank 0

@@ -43,6 +43,7 @@ def generate_data(
     seed: int = 0,
     scaler=None,
     num_points: int | None = None,
+    guidance_scale: float | None = None,
 ) -> tuple[np.ndarray, float]:
     """Sample num_jet_samples sets; returns (data (S, N, F), generation_time).
 
@@ -81,6 +82,7 @@ def generate_data(
             ode_solver=ode_solver,
             ode_steps=ode_steps,
             num_points=num_points,
+            guidance_scale=guidance_scale,
         )
 
     n_batches = int(np.ceil(num_jet_samples / batch_size))

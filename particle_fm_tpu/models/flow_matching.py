@@ -72,6 +72,11 @@ class FlowMatchingModel:
     # is its own data-endpoint estimate, fed half the time in training and
     # carried across integration steps in sampling (odeint_fixed_sc)
     self_cond: bool = False
+    # classifier-free guidance (beyond reference): probability of replacing a
+    # set's conditioning vector with the null token (zeros, in normalized
+    # space when use_normaliser) during training. Enables
+    # sample(guidance_scale=w): v = v_null + w*(v_cond - v_null).
+    cond_dropout: float = 0.0
     dtype: Any = None  # compute dtype for the network (e.g. jnp.bfloat16)
 
     def __post_init__(self):
@@ -222,6 +227,16 @@ class FlowMatchingModel:
 
         if self.self_cond and vf_fn is not None:
             raise ValueError("self_cond is not supported with a vf_fn override (pp)")
+
+        if train and self.cond_dropout > 0.0 and self.conditioned and cond is not None:
+            # classifier-free guidance training: drop whole sets' conditioning
+            # to the null token (zeros — post-normalization when the model
+            # normalizes cond, so train and sample agree on the null)
+            rng, rng_cd = jax.random.split(rng)
+            keep = jax.random.bernoulli(
+                rng_cd, 1.0 - self.cond_dropout, (cond.shape[0], 1)
+            )
+            cond = jnp.where(keep, cond, 0.0)
 
         if self.self_cond:
             rng, rng_sc = jax.random.split(rng)
@@ -380,19 +395,50 @@ class FlowMatchingModel:
         return log_prior + ladj
 
     # --------------------------------------------------------- sampling
-    def make_drift(self, variables, cond=None, mask=None, flow_idx=None, module=None):
+    def make_drift(
+        self,
+        variables,
+        cond=None,
+        mask=None,
+        flow_idx=None,
+        module=None,
+        guidance_scale=None,
+    ):
         """ODE drift f(t, x). For diffusion models this is the probability-flow
         ODE -0.5*beta*(x - eps_theta/sigma_t) (reference ode_wrapper:62-71).
 
         flow_idx selects a single flow transform (the composition runs flows
         in reverse during sampling); None applies the full stack. `module`
-        overrides the applied module (e.g. the weight-norm-folded twin)."""
+        overrides the applied module (e.g. the weight-norm-folded twin).
+
+        guidance_scale w (beyond reference, requires training with
+        model.cond_dropout > 0): classifier-free guidance at the network
+        level, v = v_null + w*(v_cond - v_null), evaluated as ONE doubled-
+        batch forward so the matmuls stay MXU-sized. Applying guidance to the
+        raw network output is exact for every family here: the diffusion and
+        droid drift transforms are affine in the prediction."""
         module = module or self.module
 
-        def net(t, x):
+        def raw_net(t, x, c, m):
             if flow_idx is None:
-                return module.apply(variables, t, x, cond=cond, mask=mask)
-            return module.apply(variables, flow_idx, t, x, cond=cond, mask=mask, method="flow_k")
+                return module.apply(variables, t, x, cond=c, mask=m)
+            return module.apply(variables, flow_idx, t, x, cond=c, mask=m, method="flow_k")
+
+        if guidance_scale is not None and guidance_scale != 1.0 and cond is not None:
+            w = guidance_scale
+
+            def net(t, x):
+                xx = jnp.concatenate([x, x], axis=0)
+                cc = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+                mm = None if mask is None else jnp.concatenate([mask, mask], axis=0)
+                out = raw_net(t, xx, cc, mm)
+                v_c, v_u = jnp.split(out, 2, axis=0)
+                return v_u + w * (v_c - v_u)
+
+        else:
+
+            def net(t, x):
+                return raw_net(t, x, cond, mask)
 
         if self.loss_type == "diffusion":
             sched = VPDiffusionSchedule(**dict(self.diff_config))
@@ -415,7 +461,7 @@ class FlowMatchingModel:
             drift = net
         return drift
 
-    @partial(jax.jit, static_argnames=("self", "n_samples", "ode_solver", "ode_steps", "num_points"))
+    @partial(jax.jit, static_argnames=("self", "n_samples", "ode_solver", "ode_steps", "num_points", "guidance_scale"))
     def sample(
         self,
         variables: dict,
@@ -426,6 +472,7 @@ class FlowMatchingModel:
         ode_solver: str = "midpoint",
         ode_steps: int = 100,
         num_points: int | None = None,
+        guidance_scale: float | None = None,
     ) -> jnp.ndarray:
         """Generate samples by integrating the flow from t=1 (noise) to t=0.
 
@@ -433,8 +480,11 @@ class FlowMatchingModel:
         z ~ N(0,1) (masked), integrate each flow transform in reverse order,
         undo in-model normalization. `num_points` overrides the configured
         set size (reference's variable-size generation hook); when a mask is
-        given its particle axis wins.
+        given its particle axis wins. `guidance_scale` enables classifier-
+        free guidance (see make_drift; train with model.cond_dropout > 0).
         """
+        if guidance_scale is not None and self.self_cond:
+            raise NotImplementedError("guidance_scale with self_cond")
         if n_samples is None:
             n_samples = cond.shape[0] if cond is not None else mask.shape[0]
         # the mask's particle axis always wins (z is multiplied by it)
@@ -472,7 +522,10 @@ class FlowMatchingModel:
 
         x = z
         for k in reversed(range(self.n_transforms)):
-            drift = self.make_drift(variables, cond=cond, mask=mask, flow_idx=k, module=module)
+            drift = self.make_drift(
+                variables, cond=cond, mask=mask, flow_idx=k, module=module,
+                guidance_scale=guidance_scale,
+            )
 
             if ode_solver in _FIXED_SOLVERS:
                 x = odeint_fixed(drift, x, 1.0, 0.0, ode_steps=ode_steps, method=ode_solver)
@@ -493,6 +546,7 @@ class FlowMatchingModel:
                         mask=None if m1 is None else m1[None],
                         flow_idx=_k,
                         module=module,
+                        guidance_scale=guidance_scale,
                     )
                     return odeint_dopri5(
                         lambda t, xs: d(t, xs[None])[0], x1, 1.0, 0.0,
@@ -513,6 +567,25 @@ class FlowMatchingModel:
                 sched = VPDiffusionSchedule(**dict(self.diff_config))
 
                 def noise_model(t, y, _k=k):
+                    if (
+                        guidance_scale is not None
+                        and guidance_scale != 1.0
+                        and cond is not None
+                    ):
+                        # CFG on the noise prediction (the standard eps-space
+                        # formulation), one doubled-batch forward
+                        yy = jnp.concatenate([y, y], axis=0)
+                        cc = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+                        mm = (
+                            None
+                            if mask is None
+                            else jnp.concatenate([mask, mask], axis=0)
+                        )
+                        out = module.apply(
+                            variables, _k, t, yy, cond=cc, mask=mm, method="flow_k"
+                        )
+                        e_c, e_u = jnp.split(out, 2, axis=0)
+                        return e_u + guidance_scale * (e_c - e_u)
                     return module.apply(
                         variables, _k, t, y, cond=cond, mask=mask, method="flow_k"
                     )

@@ -67,6 +67,13 @@ def main():
     ap.add_argument("--batch_size", type=int, default=1024)
     ap.add_argument("--no-cache", action="store_true")
     ap.add_argument(
+        "--guidance_scale",
+        type=float,
+        default=None,
+        help="classifier-free guidance weight (model must be trained with "
+        "cond_dropout > 0); None/1.0 = plain conditional sampling",
+    )
+    ap.add_argument(
         "--write_classifier_h5",
         action="store_true",
         help="also write <run_dir>/classifier_data.h5 (+_substructure.h5) in "
@@ -96,7 +103,8 @@ def main():
     n = args.n_samples or len(real)
     n = min(n, len(real))
 
-    cache = os.path.join(args.run_dir, f"generated_{args.ckpt}_{n}.npz")
+    gtag = "" if args.guidance_scale is None else f"_w{args.guidance_scale}"
+    cache = os.path.join(args.run_dir, f"generated_{args.ckpt}_{n}{gtag}.npz")
     if os.path.exists(cache) and not args.no_cache:
         print(f"[eval_ckpt] reusing cached samples {cache}")
         z = np.load(cache)
@@ -116,6 +124,7 @@ def main():
             stds=dm.stds,
             ode_solver=args.ode_solver,
             ode_steps=args.ode_steps,
+            guidance_scale=args.guidance_scale,
         )
         np.savez_compressed(cache, gen=gen, time=gen_time)
 
