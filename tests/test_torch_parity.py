@@ -269,28 +269,9 @@ def mdma_net(m: "torch.nn.Module") -> dict:
     return out
 
 
-def graft(template: dict, donor: dict, path: str = "") -> dict:
-    """Overlay donor arrays onto an init-produced param tree, shape-checked.
-
-    Every donor leaf must exist in the template with the same shape; every
-    template leaf must be covered by the donor (so nothing silently keeps its
-    random init)."""
-    assert set(donor) == set(template), (
-        f"param tree mismatch at {path or '<root>'}: "
-        f"only-in-flax={sorted(set(template) - set(donor))} "
-        f"only-in-torch={sorted(set(donor) - set(template))}"
-    )
-    out = {}
-    for k, v in donor.items():
-        if isinstance(v, dict):
-            out[k] = graft(template[k], v, f"{path}/{k}")
-        else:
-            assert template[k].shape == v.shape, (
-                f"shape mismatch at {path}/{k}: flax {template[k].shape} "
-                f"vs torch {v.shape}"
-            )
-            out[k] = jnp.asarray(v)
-    return out
+# the shape-checked overlay lives in the production import path (also used
+# by scripts/import_reference_ckpt.py)
+from particle_fm_tpu.utils.torch_import import graft  # noqa: E402
 
 
 def assert_close(flax_out, torch_out, tol=2e-5, what=""):
