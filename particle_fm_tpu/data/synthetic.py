@@ -63,8 +63,18 @@ def synthetic_jetnet(
 
         jet_pt = rs.uniform(800, 1600, size=n).astype(np.float32)
         jet_eta = rs.normal(0, 1.5, size=n).astype(np.float32)
-        base_mass = {"g": 80, "q": 60, "t": 175, "w": 80, "z": 91}[jt]
-        jet_mass = (base_mass + rs.normal(0, base_mass * 0.1, size=n)).astype(np.float32)
+        # The mass label is the REALIZED constituent-level mass (relative
+        # invariant mass of the cloud x jet pt), not an independent draw —
+        # otherwise (pt, mass)-conditioned training has nothing to learn and
+        # conditional-fidelity metrics (scripts/guidance_sweep.py) are
+        # meaningless. Matches real JetNet, where jet features are computed
+        # from the constituents.
+        px = (ptrel * np.cos(phirel)).sum(axis=1)
+        py = (ptrel * np.sin(phirel)).sum(axis=1)
+        pz = (ptrel * np.sinh(etarel)).sum(axis=1)
+        e = (ptrel * np.cosh(etarel)).sum(axis=1)
+        m_rel = np.sqrt(np.maximum(e**2 - px**2 - py**2 - pz**2, 0.0))
+        jet_mass = (m_rel * jet_pt).astype(np.float32)
         jet = np.stack(
             [
                 np.full(n, label, np.float32),

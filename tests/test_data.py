@@ -92,7 +92,7 @@ def test_normalize_roundtrip_and_masked_stats():
     np.testing.assert_allclose(back, x, atol=1e-5)
     # normalized real particles have std ~ sigma
     nm, ns = masked_mean_std(normed, mask)
-    np.testing.assert_allclose(nm, 0, atol=1e-5)
+    np.testing.assert_allclose(nm, 0, atol=5e-5)  # float32 accumulation error
     np.testing.assert_allclose(ns, 5.0, rtol=1e-5)
 
 
