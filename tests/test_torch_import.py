@@ -33,11 +33,17 @@ from tests.test_torch_parity import (  # noqa: E402
     _install_reference_stubs,
     assert_close,
     epic_encoder,
+    full_crossattention,
+    full_transformer,
+    mdma_net,
 )
 
 from particle_fm_tpu.models.flow_matching import FlowMatchingModel  # noqa: E402
 from particle_fm_tpu.utils.torch_import import (  # noqa: E402
     epic_encoder_params_from_sd,
+    full_crossattention_params_from_sd,
+    full_transformer_params_from_sd,
+    mdma_params_from_sd,
     variables_from_reference_state_dict,
 )
 
@@ -89,15 +95,141 @@ def _lightning_sd(tnet) -> dict:
     return sd
 
 
-def test_sd_converter_matches_live_module_transplant(tnet):
-    """state_dict-driven conversion == the live-module transplant maps."""
-    from_sd = epic_encoder_params_from_sd(tnet.state_dict(), "")
-    from_live = epic_encoder(tnet)
+def _assert_trees_equal(from_sd: dict, from_live: dict) -> None:
     flat_sd = jax.tree_util.tree_flatten_with_path(from_sd)
     flat_live = jax.tree_util.tree_flatten_with_path(from_live)
     assert [p for p, _ in flat_sd[0]] == [p for p, _ in flat_live[0]]
     for (p, a), (_, b) in zip(flat_sd[0], flat_live[0]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(p))
+
+
+def test_sd_converter_matches_live_module_transplant(tnet):
+    """state_dict-driven conversion == the live-module transplant maps."""
+    _assert_trees_equal(epic_encoder_params_from_sd(tnet.state_dict(), ""), epic_encoder(tnet))
+
+
+TE_CFG = {
+    "model_dim": 16,
+    "num_layers": 2,
+    "mha_config": {"num_heads": 2, "do_layer_norm": True},
+    "dense_config": {"act_h": "lrlu", "nrm": "layer"},
+}
+
+
+@pytest.fixture(scope="module")
+def droid_tnet():
+    _install_reference_stubs()
+    droid = importlib.import_module(
+        "particle_fm.models.components.droid_transformer"
+    )
+    torch.manual_seed(21)
+    return droid.FullTransformerEncoder(
+        inpt_dim=3 + 2 * 2,
+        outp_dim=3,
+        ctxt_dim=2 * 2 + 2,
+        te_config=TE_CFG,
+        node_embd_config={},
+        outp_embd_config={},
+        ctxt_embd_config={},
+    ).eval()
+
+
+def test_sd_converter_droid_fulltransformer(droid_tnet):
+    _assert_trees_equal(
+        full_transformer_params_from_sd(droid_tnet.state_dict(), ""),
+        full_transformer(droid_tnet),
+    )
+
+
+def test_sd_converter_droid_fullcrossattention():
+    _install_reference_stubs()
+    droid = importlib.import_module(
+        "particle_fm.models.components.droid_transformer"
+    )
+    torch.manual_seed(22)
+    tnet = droid.FullCrossAttentionEncoder(
+        inpt_dim=3 + 2 * 2,
+        outp_dim=3,
+        ctxt_dim=2 * 2 + 2,
+        cae_config={
+            "model_dim": 16,
+            "num_tokens": 3,
+            "num_layers": 2,
+            "mha_config": {"num_heads": 2},
+            "dense_config": {},
+        },
+        node_embd_config={},
+        outp_embd_config={},
+        ctxt_embd_config={},
+    ).eval()
+    _assert_trees_equal(
+        full_crossattention_params_from_sd(tnet.state_dict(), ""),
+        full_crossattention(tnet),
+    )
+
+
+def test_sd_converter_mdma():
+    _install_reference_stubs()
+    mdma = importlib.import_module("particle_fm.models.components.mdma")
+    torch.manual_seed(23)
+    tnet = mdma.MDMA(
+        latent=8,
+        input_dim=3,
+        hidden_dim=16,
+        layers=2,
+        num_heads=4,
+        frequencies=3,
+        global_cond_dim=1,
+        t_local_cat=True,
+        t_global_cat=True,
+        avg_n=30,
+        local_cat_cond=True,
+        global_cat_cond=True,
+    ).eval()
+    _assert_trees_equal(mdma_params_from_sd(tnet.state_dict(), ""), mdma_net(tnet))
+
+
+def test_imported_variables_forward_parity_droid(droid_tnet):
+    """Full-model droid import: vector_field == the executed reference
+    FullTransformerEncoder fed the flax CNF's input convention (sincos t
+    embedding concatenated in front of the features, flow_matching_module.py
+    droid branch)."""
+    f = 2
+    model = FlowMatchingModel(
+        model="droid_fulltransformer",
+        features=3,
+        num_particles=10,
+        frequencies=f,
+        global_cond_dim=2,
+        t_emb="sincos",
+        add_time_to_input=True,
+        net_config={"te_config": TE_CFG},
+    )
+    sd = {f"flows.0.net.{k}": v for k, v in droid_tnet.state_dict().items()}
+    variables = variables_from_reference_state_dict(sd, model)
+
+    x, mask = _cloud(batch=4, n=10, feats=3, seed=8)
+    rs = np.random.RandomState(9)
+    cond = rs.randn(4, 2).astype(np.float32)
+    t = 0.41
+
+    out = model.vector_field(
+        variables, jnp.asarray(t), jnp.asarray(x), cond=jnp.asarray(cond),
+        mask=jnp.asarray(mask),
+    )
+
+    freqs = (2.0 ** np.arange(f)) * np.pi
+    arg = np.asarray(t) * freqs
+    t_emb = np.concatenate([np.cos(arg), np.sin(arg)])[None, None, :]
+    t_emb = np.repeat(np.repeat(t_emb, 10, axis=1), 4, axis=0).astype(np.float32)
+    with torch.no_grad():
+        out_ref = droid_tnet(
+            torch.from_numpy(t_emb),
+            torch.from_numpy(np.concatenate([t_emb, x], axis=-1)),
+            torch.from_numpy(cond),
+            torch.from_numpy(mask),
+        )
+    assert_close(out, out_ref, what="imported droid vector field")
 
 
 def test_imported_variables_forward_parity(tnet):
