@@ -61,3 +61,46 @@ def test_notebooks_valid_and_in_sync():
         assert json.loads(json.dumps(generated)) == on_disk, (
             f"{path} out of sync — rerun scripts/make_notebooks.py"
         )
+
+
+def test_guidance_sweep_e2e(tmp_path):
+    """Tiny CFG run -> scripts/guidance_sweep.py writes a sane sweep yaml."""
+    from particle_fm_tpu.train import main
+
+    main([
+        "experiment=jetnet/fm_cfg_tops30",
+        "data.synthetic=true",
+        "data.synthetic_num_jets=256",
+        "data.batch_size=64",
+        # keep all 30 slots: truncating the cloud changes its realized mass,
+        # which would break the floor_real_mae ~ 0 check below
+        "data.num_particles=30",
+        "model.num_particles=30",
+        "model.hidden_dim=16",
+        "model.latent=4",
+        "model.layers=1",
+        "trainer=smoke",
+        "trainer.max_epochs=2",
+        "trainer.save_last_every_n_epoch=1",
+        "callbacks=none",
+        f"output_dir={tmp_path}/run",
+    ])
+    run_dir = sorted(glob.glob(f"{tmp_path}/run/*"))[-1]
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "guidance_sweep.py"),
+         "--run_dir", run_dir, "--ckpt", "last", "--ws", "1", "2",
+         "--n", "64", "--ode_steps", "4", "--batch_size", "64"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    import yaml
+
+    out = yaml.safe_load(open(os.path.join(run_dir, "guidance_sweep.yaml")))
+    # the synthetic labels ARE the realized constituent mass -> floor ~ 0
+    assert abs(out["floor_real_mae"]) < 1e-4
+    assert set(out["ws"]) == {1.0, 2.0}
+    for row in out["ws"].values():
+        for v in row.values():
+            assert np.isfinite(v)
