@@ -87,16 +87,22 @@ def synthetic_jetclass_file(path: str, num_jets: int = 1000, num_particles: int 
 
     jet_pt = rs.uniform(400, 1000, n)
     jet_eta = rs.normal(0, 1.5, n)
-    base_mass = np.array(
-        [30.0, 85.0, 175.0, 91.0, 80.0, 125.0, 60.0, 40.0, 173.0, 90.0]
-    )
+    # sdmass label = realized constituent-level relative mass x jet pt (same
+    # rationale as data/synthetic.py: an independently drawn label makes
+    # mass-conditioned training unlearnable and fidelity metrics meaningless)
+    pm = ptrel * mask
+    px = (pm * np.cos(dphi)).sum(axis=1)
+    py = (pm * np.sin(dphi)).sum(axis=1)
+    pz = (pm * np.sinh(etarel)).sum(axis=1)
+    e = (pm * np.cosh(etarel)).sum(axis=1)
+    m_rel = np.sqrt(np.maximum(e**2 - px**2 - py**2 - pz**2, 0.0))
     jet_features = np.stack(
         [
             jet_pt,                                          # jet_pt
             jet_eta,                                         # jet_eta
             rs.uniform(-np.pi, np.pi, n),                    # jet_phi
             jet_pt * np.cosh(np.clip(jet_eta, -2.5, 2.5)),   # jet_energy
-            base_mass[types % 10] * (1 + rs.normal(0, 0.1, n)),  # jet_sdmass
+            m_rel * jet_pt,                                  # jet_sdmass
             mult.astype(float),                              # jet_nparticles
             types.astype(float),                             # jet_type
         ],
