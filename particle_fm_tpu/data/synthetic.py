@@ -108,9 +108,9 @@ def synthetic_lhco(
     pt2 = mjj / 2 * rs.uniform(0.7, 0.95, size=n)
     jets = np.zeros((n, 2, 4), np.float32)
     jets[:, 0] = np.stack([pt1, rs.normal(0, 1, n), rs.uniform(-np.pi, np.pi, n),
-                           rs.uniform(100, 600, n)], axis=-1)
+                           np.zeros(n)], axis=-1)
     jets[:, 1] = np.stack([pt2, rs.normal(0, 1, n), rs.uniform(-np.pi, np.pi, n),
-                           rs.uniform(100, 600, n)], axis=-1)
+                           np.zeros(n)], axis=-1)
 
     mult = np.clip(rs.poisson(60, size=(n, 2)), 3, num_particles)
     ar = np.arange(num_particles)[None, None, :]
@@ -122,6 +122,14 @@ def synthetic_lhco(
     eta = jets[:, :, 1:2] + rs.normal(0, 0.3, size=(n, 2, num_particles)) * mask[..., 0]
     phi = jets[:, :, 2:3] + rs.normal(0, 0.3, size=(n, 2, num_particles)) * mask[..., 0]
     consts = np.stack([pt, eta, phi], axis=-1).astype(np.float32) * mask
+    # jet mass label = realized invariant mass of the (massless) constituents
+    # — a label drawn independently of the cloud would make the stage-2
+    # conditional model unlearnable (same rationale as synthetic_jetnet)
+    px = (pt * np.cos(phi) * mask[..., 0]).sum(-1)
+    py = (pt * np.sin(phi) * mask[..., 0]).sum(-1)
+    pz = (pt * np.sinh(eta) * mask[..., 0]).sum(-1)
+    e = (pt * np.cosh(eta) * mask[..., 0]).sum(-1)
+    jets[:, :, 3] = np.sqrt(np.maximum(e**2 - px**2 - py**2 - pz**2, 0.0))
     return jets, consts, mask
 
 
