@@ -45,6 +45,14 @@ def main():
     ap.add_argument("--ode_steps", type=int, default=100)
     ap.add_argument("--batch_size", type=int, default=1024)
     ap.add_argument("--recluster", action="store_true", help="anti-kt recluster events")
+    ap.add_argument(
+        "--metrics",
+        action="store_true",
+        help="with --recluster: W1(mjj) + per-jet feature W1 of the "
+        "reclustered generated events vs the real signal region "
+        "(reference lhco_complex_data_eval protocol: generated-clustered "
+        "vs the real pre-clustered jets)",
+    )
     ap.add_argument("--out", default="lhco_generated.h5")
     args = ap.parse_args()
 
@@ -144,6 +152,46 @@ def main():
         payload["clustered_jets"] = jets_cl
         payload["clustered_constituents"] = consts_cl
         payload["clustered_mask"] = mask_cl
+
+    if args.metrics:
+        if not args.recluster:
+            raise SystemExit("--metrics requires --recluster")
+        import yaml
+
+        from particle_fm_tpu.data.utils import get_mjj
+        from particle_fm_tpu.eval.metrics import (
+            calculate_wasserstein_metrics_jets,
+            wasserstein_distance_batched,
+        )
+
+        jets_cl = payload["clustered_jets"]
+        # clusterer returns (pt, y, phi, m) per jet; top-2 jets per event
+        mjj_gen = get_mjj(jets_cl[:, 0], jets_cl[:, 1])
+        mjj_real = np.asarray(dm2.mjj_sr, dtype=np.float64)
+        ok = np.isfinite(mjj_gen)
+        n_eval = int(min(ok.sum(), len(mjj_real), 5000))
+        w1_kwargs = dict(num_eval_samples=n_eval, num_batches=40)
+        metrics = {}
+        metrics["w1_mjj_mean"], metrics["w1_mjj_std"] = wasserstein_distance_batched(
+            mjj_real, mjj_gen[ok], **w1_kwargs
+        )
+        # real SR dijet features from the stage-1 datamodule's held-out SR
+        # split (tensor_test_sr is stored in PHYSICAL units — the raw copy is
+        # taken before normalization in LHCOJetFeatureDataModule.setup).
+        # These are the pre-clustered label jets, i.e. the reference's
+        # comparison side; note the label eta is pseudorapidity while the
+        # clusterer reports rapidity y — pt/m/mjj are estimator-consistent.
+        real_sr = np.asarray(dm1.tensor_test_sr, dtype=np.float64).reshape(-1, 2, 5)
+        for j, name in ((0, "x"), (1, "y")):
+            wj = calculate_wasserstein_metrics_jets(
+                real_sr[:, j, :4], jets_cl[:, j], **w1_kwargs
+            )
+            metrics.update({f"{k}_{name}": float(v) for k, v in wj.items()})
+        out_yaml = os.path.splitext(args.out)[0] + "_metrics.yaml"
+        with open(out_yaml, "w") as f:
+            yaml.safe_dump({k: float(v) for k, v in metrics.items()}, f)
+        print(f"[lhco] W1(mjj) = {metrics['w1_mjj_mean']:.2f} "
+              f"+- {metrics['w1_mjj_std']:.2f} GeV  -> {out_yaml}")
 
     with h5py.File(args.out, "w") as f:
         for k, v in payload.items():
