@@ -96,9 +96,25 @@ class LHCODataModule(ArrayDataModule):
 
     def _load(self):
         if self.synthetic:
-            return synthetic_lhco(
+            jets, consts, mask = synthetic_lhco(
                 self.synthetic_num_events, max(self.num_particles, 8), seed=self.seed
             )
+            if self.relative_coords:
+                # the generator emits absolute (pt, eta, phi); the reference's
+                # `_rel` file stores per-jet relative constituents
+                # (pt/jet_pt, eta - jet_eta, wrap(phi - jet_phi)) — the exact
+                # inverse of data/utils.py::get_nonrel_consts, which the
+                # generation pipeline applies before re-clustering
+                m = mask[..., 0:1]
+                rel_pt = consts[..., 0:1] / np.maximum(jets[:, :, None, 0:1], 1e-9)
+                rel_eta = consts[..., 1:2] - jets[:, :, None, 1:2]
+                dphi = consts[..., 2:3] - jets[:, :, None, 2:3]
+                dphi = np.where(dphi > np.pi, dphi - 2 * np.pi, dphi)
+                dphi = np.where(dphi < -np.pi, dphi + 2 * np.pi, dphi)
+                consts = (
+                    np.concatenate([rel_pt, rel_eta, dphi], axis=-1) * m
+                ).astype(np.float32)
+            return jets, consts, mask
         suffix = "_rel" if self.relative_coords else ""
         path = os.path.join(
             self.data_dir,
