@@ -831,3 +831,149 @@ def test_datamodule_one_hot_and_base_dist_parity(ref_data_utils):
         stds_my * 5.0, _np(x_cov), rtol=2e-3,
         err_msg="base-distribution stds (reference scales by 5 at i==2)",
     )
+
+
+# ---------------------------------------------------------------------------
+# training-dynamics parity: full optimization trajectory
+# ---------------------------------------------------------------------------
+
+
+def test_training_trajectory_parity(ref, monkeypatch):
+    """20 full optimization steps against the executed reference stack.
+
+    Torch side (reference semantics end to end): the reference CFM loss
+    (losses.py:101-136) -> autograd -> global-norm grad clip 0.5 (the
+    trainer's gradient_clip_val, configs/experiment/jetnet/fm_tops30_cond.yaml)
+    -> torch AdamW(lr=1e-3, wd=5e-5) stepped by the reference's
+    CosineWarmupScheduler (schedulers/lr_scheduler.py:7-21, imported and
+    executed) -> the reference EMA update (callbacks/ema.py:73-88,
+    ema -= (1-decay)*(ema-param)).
+
+    JAX side: the production step body (parallel/train.py::_build_step_fn —
+    the exact code inside make_train_step/make_train_epoch) with
+    make_optimizer (clip 0.5 + optax adamw) and cosine_warmup_schedule, on
+    weights grafted from the torch net's initial state, with the identical
+    pinned (t, x0, eps) draws per step.
+
+    Asserts per-step loss agreement and final params + EMA params agreement:
+    gradient, clipping, AdamW, LR-schedule, and EMA parity — the complete
+    training dynamics, not just the forward pass."""
+    import importlib
+
+    import jax
+
+    from particle_fm_tpu.models.flow_matching import FlowMatchingModel
+    from particle_fm_tpu.parallel.train import (
+        _build_step_fn,
+        create_train_state,
+        make_optimizer,
+    )
+    from particle_fm_tpu.training.lr_schedules import cosine_warmup_schedule
+
+    lr_mod = importlib.import_module("particle_fm.schedulers.lr_scheduler")
+
+    B, N, F, f = 8, 6, 3, 3
+    STEPS, WARMUP, MAX_ITERS = 20, 5, 20
+    LR, WD, CLIP, DECAY = 1e-3, 5e-5, 0.5, 0.999
+
+    rs = np.random.RandomState(77)
+    xs, ms, draws = [], [], []
+    for _ in range(STEPS):
+        x, mask = _cloud(B, N, F, seed=rs.randint(1 << 30))
+        xs.append(x)
+        ms.append(mask)
+        draws.append(
+            [
+                rs.rand(B).astype(np.float32),
+                rs.randn(B, N, F).astype(np.float32),
+                rs.randn(B, N, F).astype(np.float32),
+            ]
+        )
+
+    # ---- torch reference trajectory ----------------------------------
+    torch.manual_seed(3)
+    tnet = ref.epic.EPiC_encoder(
+        latent=8, input_dim=F + 2 * f, hid_d=16, feats=F,
+        equiv_layers=2, frequencies=f, num_points=N,
+    )
+    # deep-copy: _np() returns numpy VIEWS of torch storage, and opt.step()
+    # mutates parameters in place — snapshot BEFORE training must be a copy
+    init_transplant = jax.tree_util.tree_map(np.copy, epic_encoder(tnet))
+    flows = torch.nn.ModuleList([_RefSincosCNF(tnet, f)])
+    loss_mod = ref.losses.ConditionalFlowMatchingLoss(flows, sigma=1e-4)
+    opt = torch.optim.AdamW(tnet.parameters(), lr=LR, weight_decay=WD)
+    sched = lr_mod.CosineWarmupScheduler(opt, warmup=WARMUP, max_iters=MAX_ITERS)
+    ema_t = [p.detach().clone() for p in tnet.parameters()]
+
+    ref_losses = []
+    for s in range(STEPS):
+        _pin_torch_randoms(monkeypatch, list(draws[s]))
+        loss = loss_mod(torch.from_numpy(xs[s]), torch.from_numpy(ms[s]))
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(tnet.parameters(), CLIP)
+        opt.step()
+        sched.step()
+        with torch.no_grad():
+            for e, p in zip(ema_t, tnet.parameters()):
+                e.sub_((e - p.detach()) * (1.0 - DECAY))  # ema.py:78-81
+        ref_losses.append(float(loss))
+
+    # ---- JAX production-step trajectory ------------------------------
+    model = FlowMatchingModel(
+        model="epic", features=F, num_particles=N, hidden_dim=16, latent=8,
+        layers=2, frequencies=f, t_emb="sincos", loss_type="CFM", sigma=1e-4,
+    )
+    schedule = cosine_warmup_schedule(LR, WARMUP, MAX_ITERS, steps_per_epoch=1)
+    optimizer = make_optimizer(lr=schedule, weight_decay=WD, grad_clip=CLIP)
+    state = create_train_state(model, jax.random.PRNGKey(0), optimizer)
+    params = dict(state.params)
+    params["flows_0"] = dict(params["flows_0"])
+    params["flows_0"]["net"] = graft(dict(params["flows_0"]["net"]), init_transplant)
+    state = state.replace(
+        params=params,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=optimizer.init(params),
+    )
+    step_fn = _build_step_fn(model, optimizer, ema_decay=DECAY)  # eager: pinned
+    # draws are popped per call (a jitted trace would bake them as constants)
+
+    jax_losses = []
+    for s in range(STEPS):
+        _pin_jax_randoms(monkeypatch, list(draws[s]))
+        state, loss = step_fn(
+            state, jax.random.PRNGKey(s), jnp.asarray(xs[s]), jnp.asarray(ms[s]), None
+        )
+        jax_losses.append(float(loss))
+
+    # per-step losses track the executed reference
+    for s, (a, b) in enumerate(zip(jax_losses, ref_losses)):
+        rel = abs(a - b) / max(abs(b), 1e-8)
+        assert rel < 5e-4, f"step {s}: jax {a:.8f} vs torch {b:.8f} (rel {rel:.2e})"
+
+    # final parameters and EMA parameters agree (fp32 trajectories)
+    final_ref = jax.tree_util.tree_map(np.copy, epic_encoder(tnet))
+
+    def compare_tree(mine: dict, theirs: dict, what: str, tol=5e-4):
+        for k, v in theirs.items():
+            m = mine[k]
+            if isinstance(v, dict):
+                compare_tree(m, v, f"{what}/{k}", tol)
+            else:
+                a = np.asarray(m, np.float64)
+                b = np.asarray(v, np.float64)
+                scale = max(np.abs(b).max(), 1e-3)
+                err = np.abs(a - b).max() / scale
+                assert err < tol, f"{what}/{k}: max rel err {err:.2e}"
+
+    compare_tree(state.params["flows_0"]["net"], final_ref, "params")
+
+    # EMA: rebuild the torch EMA values in transplant layout for comparison
+    with torch.no_grad():
+        backup = [p.detach().clone() for p in tnet.parameters()]
+        for p, e in zip(tnet.parameters(), ema_t):
+            p.copy_(e)
+        ema_ref = jax.tree_util.tree_map(np.copy, epic_encoder(tnet))
+        for p, b in zip(tnet.parameters(), backup):
+            p.copy_(b)
+    compare_tree(state.ema_params["flows_0"]["net"], ema_ref, "ema")
