@@ -225,13 +225,29 @@ class EPiCDiscriminator(nn.Module):
             feats, use_weight_norm=wn, dtype=self.dtype, name=name
         )
 
-        h = act(dense(self.hid_dim, "fc_l1")(x))
-        h = act(dense(self.hid_dim, "fc_l2")(h) + h)
+        # conditioning concat exactly as the reference embeds it
+        # (epic.py:543-570): local = cond broadcast per particle into
+        # fc_l1/fc_l2, global = cond into fc_g1/fc_g2. (The reference's time
+        # paths, t_local_cat/t_global_cat, default off for discriminators and
+        # are not carried.)
+        g_cond = cond if self.global_cond_dim > 0 else None
+        l_cond = None
+        if self.local_cond_dim > 0:
+            if cond is None:
+                raise ValueError("local_cond_dim > 0 requires cond")
+            l_cond = jnp.broadcast_to(
+                cond[..., None, :], x.shape[:-1] + (cond.shape[-1],)
+            )
+
+        h = act(dense(self.hid_dim, "fc_l1")(cat(x, l_cond)))
+        h = act(dense(self.hid_dim, "fc_l2")(cat(h, l_cond)) + h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
         z_mean, z_sum = meansum_pool(h, mask, self.sum_scale)
-        g = cat(z_sum, z_mean)
+        g = cat(z_sum, z_mean, g_cond)
         g = act(dense(self.hid_dim, "fc_g1")(g))
-        g = act(dense(self.latent_dim, "fc_g2")(g))
+        g = act(dense(self.latent_dim, "fc_g2")(cat(g, g_cond)))
 
         for i in range(self.equiv_layers):
             g, h = EPiCLayer(
@@ -251,16 +267,21 @@ class EPiCDiscriminator(nn.Module):
         z_mean, z_sum = meansum_pool(h, mask, self.sum_scale)
         g_final = cat(z_sum, z_mean, g)
         if self.num_sup_sets > 1:
-            # (B*S, D) -> (B/S... , S*D): ADJACENT rows form one event, like
-            # the reference (epic.py:584-590). Callers must supply
-            # event-adjacent jets and keep groups intact through
-            # shuffling/batching (GenVsRealDataModule(num_sup_sets=S) does) —
+            # super-set pooling (epic.py:584-590): sum the S per-set feature
+            # vectors of one event and emit cat(scaled_sum, mean) — the
+            # reference's permutation-invariant dijet head. Input here is
+            # (B*S, N, F) with ADJACENT rows forming one event (the
+            # reference takes (B, S, N, F); per-set math is identical, the
+            # reshape below regroups the S axis). Callers must keep groups
+            # intact through shuffling/batching (GenVsRealDataModule does) —
             # note the generative LHCO "all" layout is Fortran-ordered and is
             # NOT directly compatible with this head.
             d = g_final.shape[-1]
-            g_final = g_final.reshape(-1, self.num_sup_sets * d)
+            s2 = g_final.reshape(-1, self.num_sup_sets, d).sum(axis=-2)
+            g_final = cat(s2 * self.sum_scale, s2 / self.num_sup_sets)
         out = act(dense(self.hid_dim, "fc_d1")(g_final))
-        out = act(dense(self.hid_dim, "fc_d2")(out) + out)
+        # no residual on the second head dense (reference epic.py:595-597)
+        out = act(dense(self.hid_dim, "fc_d2")(out))
         out = dense(self.out_dim, "fc_out")(out)
         return out
 

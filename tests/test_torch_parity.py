@@ -977,3 +977,184 @@ def test_training_trajectory_parity(ref, monkeypatch):
         for p, b in zip(tnet.parameters(), backup):
             p.copy_(b)
     compare_tree(state.ema_params["flows_0"]["net"], ema_ref, "ema")
+
+
+# ---------------------------------------------------------------------------
+# remaining executable nets: EPiC discriminator, MLP family, cathode
+# ---------------------------------------------------------------------------
+
+
+def epic_discriminator(disc: "torch.nn.Module") -> dict:
+    out = {
+        "fc_l1": wn_linear(disc.fc_l1),
+        "fc_l2": wn_linear(disc.fc_l2),
+        "fc_g1": wn_linear(disc.fc_g1),
+        "fc_g2": wn_linear(disc.fc_g2),
+        "fc_d1": wn_linear(disc.fc_g3),
+        "fc_d2": wn_linear(disc.fc_g4),
+        "fc_out": wn_linear(disc.out),
+    }
+    for i, layer in enumerate(disc.nn_list):
+        out[f"epic_layer_{i}"] = epic_layer(layer)
+    return out
+
+
+def test_epic_discriminator_forward_parity(ref):
+    """EPiC_discriminator (epic.py:394-598), plain gen-vs-real config:
+    local embed -> EPiC layers -> pooled head fc_g3/fc_g4/out (no residual
+    on fc_g4 — drift caught and fixed by this test)."""
+    import jax
+
+    from particle_fm_tpu.nets.epic import EPiCDiscriminator
+
+    B, N, F = 4, 10, 3
+    x, mask = _cloud(B, N, F, seed=31)
+
+    tdisc = ref.epic.EPiC_discriminator(
+        latent=8, input_dim=F, hid_d=16, equiv_layers=2,
+        num_points=N, num_sup_sets=1, out_dim=1,
+    ).eval()
+    with torch.no_grad():
+        out_ref = tdisc(None, torch.from_numpy(x), None, torch.from_numpy(mask))
+
+    disc = EPiCDiscriminator(hid_dim=16, latent_dim=8, equiv_layers=2, num_sup_sets=1)
+    template = disc.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), None, jnp.asarray(mask)
+    )["params"]
+    params = graft(dict(template), epic_discriminator(tdisc))
+    out = disc.apply({"params": params}, jnp.asarray(x), None, jnp.asarray(mask))
+    assert_close(out, out_ref, what="epic_discriminator")
+
+
+def test_epic_discriminator_supsets_cond_parity(ref):
+    """EPiC_discriminator with num_sup_sets=2 + global/local conditioning
+    (the LHCO dijet classifier config): the reference takes (B, S, N, F) and
+    super-pools cat(scaled_sum, mean) over the S axis (epic.py:584-590); the
+    flax twin takes (B*S, N, F) with adjacent rows forming one event."""
+    import jax
+
+    from particle_fm_tpu.nets.epic import EPiCDiscriminator
+
+    B, S, N, F, C = 3, 2, 8, 3, 2
+    x, mask = _cloud(B * S, N, F, seed=32)
+    rs = np.random.RandomState(33)
+    cond = rs.randn(B * S, C).astype(np.float32)
+
+    tdisc = ref.epic.EPiC_discriminator(
+        latent=8, input_dim=F, hid_d=16, equiv_layers=2, num_points=N,
+        num_sup_sets=S, out_dim=3, global_cond_dim=C, local_cond_dim=C,
+    ).eval()
+    with torch.no_grad():
+        out_ref = tdisc(
+            None,
+            torch.from_numpy(x.reshape(B, S, N, F)),
+            torch.from_numpy(cond.reshape(B, S, C)),
+            torch.from_numpy(mask.reshape(B, S, N, 1)),
+        )
+
+    disc = EPiCDiscriminator(
+        hid_dim=16, latent_dim=8, equiv_layers=2, num_sup_sets=S, out_dim=3,
+        global_cond_dim=C, local_cond_dim=C,
+    )
+    template = disc.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(cond), jnp.asarray(mask)
+    )["params"]
+    params = graft(dict(template), epic_discriminator(tdisc))
+    out = disc.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(cond), jnp.asarray(mask)
+    )
+    assert_close(out, out_ref, what="epic_discriminator_supsets")
+
+
+def _mlp_seq(seq: "torch.nn.Module") -> dict:
+    out, i = {}, 0
+    for m in seq.modules():
+        if isinstance(m, torch.nn.Linear):
+            out[f"lin_{i}"] = plain_linear(m)
+            i += 1
+    return out
+
+
+@pytest.fixture(scope="module")
+def ref_mlp(ref):
+    return importlib.import_module("particle_fm.models.components.mlp")
+
+
+def test_small_cond_mlp_parity(ref_mlp):
+    """small_cond_MLP_model (mlp.py:24-68): 4 ELU-MLP stages with (t, cond)
+    re-concatenated at every stage input."""
+    import jax
+
+    from particle_fm_tpu.nets.mlp import SmallCondMLP
+
+    B, D, DT, DC = 5, 10, 6, 2
+    rs = np.random.RandomState(40)
+    t = rs.randn(B, DT).astype(np.float32)
+    x = rs.randn(B, D).astype(np.float32)
+    cond = rs.randn(B, DC).astype(np.float32)
+
+    tm = ref_mlp.small_cond_MLP_model(
+        in_features=D, out_features=D, dim_t=DT, dim_cond=DC
+    ).eval()
+    with torch.no_grad():
+        out_ref = tm(torch.from_numpy(t), torch.from_numpy(x), torch.from_numpy(cond))
+
+    m = SmallCondMLP(out_features=D)
+    template = m.init(
+        jax.random.PRNGKey(0), jnp.asarray(t), jnp.asarray(x), jnp.asarray(cond)
+    )["params"]
+    transplant = {f"mlp{i}": _mlp_seq(getattr(tm, f"mlp{i}")) for i in (1, 2, 3, 4)}
+    params = graft(dict(template), transplant)
+    out = m.apply({"params": params}, jnp.asarray(t), jnp.asarray(x), jnp.asarray(cond))
+    assert_close(out, out_ref, what="small_cond_mlp")
+
+
+def test_very_small_cond_mlp_parity(ref_mlp):
+    """very_small_cond_MLP_model (mlp.py:71-103): single ELU-MLP stage."""
+    import jax
+
+    from particle_fm_tpu.nets.mlp import VerySmallCondMLP
+
+    B, D, DT, DC = 5, 4, 6, 1
+    rs = np.random.RandomState(41)
+    t = rs.randn(B, DT).astype(np.float32)
+    x = rs.randn(B, D).astype(np.float32)
+    cond = rs.randn(B, DC).astype(np.float32)
+
+    tm = ref_mlp.very_small_cond_MLP_model(
+        in_features=D, out_features=D, dim_t=DT, dim_cond=DC
+    ).eval()
+    with torch.no_grad():
+        out_ref = tm(torch.from_numpy(t), torch.from_numpy(x), torch.from_numpy(cond))
+
+    m = VerySmallCondMLP(out_features=D)
+    template = m.init(
+        jax.random.PRNGKey(0), jnp.asarray(t), jnp.asarray(x), jnp.asarray(cond)
+    )["params"]
+    params = graft(dict(template), {"mlp1": _mlp_seq(tm.mlp1)})
+    out = m.apply({"params": params}, jnp.asarray(t), jnp.asarray(x), jnp.asarray(cond))
+    assert_close(out, out_ref, what="very_small_cond_mlp")
+
+
+def test_cathode_classifier_parity(ref_mlp):
+    """cathode_classifier (mlp.py:156-173): ReLU MLP -> 1 logit."""
+    import jax
+
+    from particle_fm_tpu.nets.mlp import CathodeClassifier
+
+    B, F = 6, 4
+    rs = np.random.RandomState(42)
+    x = rs.randn(B, F).astype(np.float32)
+
+    tm = ref_mlp.cathode_classifier(features=F, layers=[64, 64, 64]).eval()
+    with torch.no_grad():
+        out_ref = tm(torch.from_numpy(x))
+
+    m = CathodeClassifier(layers=(64, 64, 64))
+    template = m.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    lins = [mm for mm in tm.model_stack if isinstance(mm, torch.nn.Linear)]
+    transplant = {f"lin_{i}": plain_linear(l) for i, l in enumerate(lins[:-1])}
+    transplant["lin_out"] = plain_linear(lins[-1])
+    params = graft(dict(template), transplant)
+    out = m.apply({"params": params}, jnp.asarray(x))
+    assert_close(out, out_ref, what="cathode_classifier")
