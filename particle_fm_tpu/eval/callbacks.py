@@ -402,6 +402,8 @@ class JetNetEvalCallback:
         if self.cond_path is not None:
             import h5py
 
+            from particle_fm_tpu.data.utils import normalize_tensor
+
             with h5py.File(self.cond_path, "r") as f:
                 pt_c = np.asarray(f["pt"])
                 mass_c = np.asarray(f["mass"])
@@ -411,15 +413,43 @@ class JetNetEvalCallback:
             )
             npart = np.clip(num_particles_c.astype(int), 1, jet_size)
             mask_c = np.tri(jet_size)[npart - 1][..., None].astype(np.float32)
-            pt_c = pt_c.reshape(len(pt_c), -1)
-            mass_c = mass_c.reshape(len(mass_c), -1)
+            # The h5 supplies (pt, mass[, num_particles]) columns only — the
+            # reference shares this limitation ("TODO implement other
+            # conditioning options", jetnet_final_eval.py:168). Validate the
+            # run's conditioning layout instead of silently mis-normalizing.
+            if getattr(dm, "conditioning_type", False) or getattr(
+                dm, "conditioning_eta", False
+            ):
+                raise ValueError(
+                    "cond_path supplies only pt/mass/num_particles conditioning; "
+                    "this run conditions on jet type and/or eta, which the h5 "
+                    "cannot provide (reference jetnet_final_eval.py:168 TODO)"
+                )
+            cols = [pt_c.reshape(len(pt_c), -1), mass_c.reshape(len(mass_c), -1)]
+            if getattr(dm, "conditioning_num_particles", False):
+                cols.append(
+                    num_particles_c.reshape(len(num_particles_c), -1).astype(
+                        np.float32
+                    )
+                )
             cond_means = getattr(dm, "cond_means", None)
             if cond is not None and cond_means is not None:
+                # sigma-scaled z-score, same transform the datamodule applied
+                # to its own conditioning (normalize_tensor; reference
+                # jetnet_final_eval.py:171-172 uses normalize_tensor too)
                 cond_stds = np.asarray(dm.cond_stds)
                 cond_means = np.asarray(cond_means)
-                pt_c = (pt_c - cond_means[0]) / cond_stds[0]
-                mass_c = (mass_c - cond_means[1]) / cond_stds[1]
-            cond_c = np.concatenate([pt_c, mass_c], axis=-1).astype(np.float32)
+                sigma = getattr(dm, "normalize_sigma", 5)
+                cols = [
+                    normalize_tensor(c, cond_means[i], cond_stds[i], sigma)
+                    for i, c in enumerate(cols)
+                ]
+            cond_c = np.concatenate(cols, axis=-1).astype(np.float32)
+            if cond is not None and cond_c.shape[1] != cond.shape[1]:
+                raise ValueError(
+                    f"cond_path built {cond_c.shape[1]} conditioning columns but "
+                    f"the run's model consumes {cond.shape[1]}"
+                )
             return _tile_to(cond_c, n), _tile_to(mask_c, n)
         mask_gen = getattr(dm, "mask_gen", None)
         if self.use_gen_conditioning and mask_gen is not None:

@@ -24,6 +24,7 @@ from particle_fm_tpu.nets.epic import EPiCEncoder
 from particle_fm_tpu.nets.norm_layer import IterativeNormLayer
 from particle_fm_tpu.nets.time_emb import (
     GaussianFourierProjection,
+    broadcast_time_embedding,
     cosine_encoding,
     sincos_embedding,
 )
@@ -110,24 +111,18 @@ class CNF(nn.Module):
 
     def time_embedding(self, t: jnp.ndarray, n_particles: int) -> jnp.ndarray:
         """t: scalar or (B,) -> (B, N, 2*frequencies) (B broadcastable)."""
-        t = jnp.asarray(t)
-        if t.ndim == 0:
-            t = t[None]
-        if self.t_emb == "sincos":
-            emb = sincos_embedding(t, self.frequencies)  # (B, 2f)
-        elif self.t_emb == "cosine":
-            emb = cosine_encoding(
-                t, outp_dim=2 * self.frequencies, min_value=0.0, max_value=1.0
-            )
-        elif self.t_emb == "gaussian":
+        if self.t_emb == "gaussian":
+            t = jnp.asarray(t)
+            if t.ndim == 0:
+                t = t[None]
             act = get_act(self.activation)
             emb = act(self.gfp_dense(self.gfp(t)))
             emb = self.gfp_out(emb)
-        else:
-            raise NotImplementedError(f"t_emb={self.t_emb} not implemented")
-        return jnp.broadcast_to(
-            emb[..., None, :], emb.shape[:-1] + (n_particles, emb.shape[-1])
-        )
+            return jnp.broadcast_to(
+                emb[..., None, :], emb.shape[:-1] + (n_particles, emb.shape[-1])
+            )
+        # sincos / cosine share the parameter-free helper with parallel/pp.py
+        return broadcast_time_embedding(t, n_particles, self.t_emb, self.frequencies)
 
     def __call__(
         self,

@@ -68,9 +68,10 @@ class FlowMatchingModel:
     droid_t_max: float = 1.0
     ot_config: Mapping[str, Any] = dataclasses.field(default_factory=dict)
     # self-conditioning (reference notebook-02-only CFM variant, first-class
-    # here): the net consumes cat(x, x1_hat) where x1_hat = stopgrad(y - t*v)
-    # is its own data-endpoint estimate, fed half the time in training and
-    # carried across integration steps in sampling (odeint_fixed_sc)
+    # here): the net consumes cat(x, x1_hat) where x1_hat = stopgrad(y - t*tm*v)
+    # (tm = droid_t_max for the droid loss, else 1) is its own data-endpoint
+    # estimate, fed half the time in training and carried across integration
+    # steps in sampling (odeint_fixed_sc)
     self_cond: bool = False
     # classifier-free guidance (beyond reference): probability of replacing a
     # set's conditioning vector with the null token (zeros, in normalized
@@ -240,13 +241,17 @@ class FlowMatchingModel:
 
         if self.self_cond:
             rng, rng_sc = jax.random.split(rng)
+            # data-endpoint estimate along the linear path: y = x + t*tm*u
+            # for droid (physical time t*droid_t_max, losses.droid_loss), so
+            # x1_hat = y - t*tm*v; tm = 1 for FM-OT/CFM/CFM-OT
+            sc_tm = self.droid_t_max if self.loss_type == "droid" else 1.0
 
             def vf(t, y, c, m):
                 # two-pass self-conditioning (notebook-02 semantics): a cold
                 # pass yields the stop-gradient endpoint estimate, fed to the
                 # trained pass for a random half of the sets
                 v0 = self.module.apply(variables, t, y, cond=c, mask=m)
-                x1_hat = jax.lax.stop_gradient(y - t[:, None, None] * v0)
+                x1_hat = jax.lax.stop_gradient(y - sc_tm * t[:, None, None] * v0)
                 if m is not None:
                     x1_hat = x1_hat * m
                 use = jax.random.bernoulli(rng_sc, 0.5, (y.shape[0], 1, 1))
@@ -395,6 +400,34 @@ class FlowMatchingModel:
         return log_prior + ladj
 
     # --------------------------------------------------------- sampling
+    def _guided_net(self, variables, module, flow_idx, cond, mask, guidance_scale):
+        """Raw network prediction net(t, x), with optional classifier-free
+        guidance: one doubled-batch forward (cond | null-token zeros), then
+        pred = p_u + w*(p_c - p_u). The SINGLE definition of the guidance
+        combination — both the ODE drift (make_drift) and the em/ddim noise
+        model (sample) build on it, so the null-token/guidance convention
+        cannot drift between the two sampler families."""
+
+        def raw_net(t, x, c, m):
+            if flow_idx is None:
+                return module.apply(variables, t, x, cond=c, mask=m)
+            return module.apply(variables, flow_idx, t, x, cond=c, mask=m, method="flow_k")
+
+        if guidance_scale is not None and guidance_scale != 1.0 and cond is not None:
+            w = guidance_scale
+
+            def net(t, x):
+                xx = jnp.concatenate([x, x], axis=0)
+                cc = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+                mm = None if mask is None else jnp.concatenate([mask, mask], axis=0)
+                out = raw_net(t, xx, cc, mm)
+                v_c, v_u = jnp.split(out, 2, axis=0)
+                return v_u + w * (v_c - v_u)
+
+            return net
+
+        return lambda t, x: raw_net(t, x, cond, mask)
+
     def make_drift(
         self,
         variables,
@@ -418,27 +451,7 @@ class FlowMatchingModel:
         raw network output is exact for every family here: the diffusion and
         droid drift transforms are affine in the prediction."""
         module = module or self.module
-
-        def raw_net(t, x, c, m):
-            if flow_idx is None:
-                return module.apply(variables, t, x, cond=c, mask=m)
-            return module.apply(variables, flow_idx, t, x, cond=c, mask=m, method="flow_k")
-
-        if guidance_scale is not None and guidance_scale != 1.0 and cond is not None:
-            w = guidance_scale
-
-            def net(t, x):
-                xx = jnp.concatenate([x, x], axis=0)
-                cc = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
-                mm = None if mask is None else jnp.concatenate([mask, mask], axis=0)
-                out = raw_net(t, xx, cc, mm)
-                v_c, v_u = jnp.split(out, 2, axis=0)
-                return v_u + w * (v_c - v_u)
-
-        else:
-
-            def net(t, x):
-                return raw_net(t, x, cond, mask)
+        net = self._guided_net(variables, module, flow_idx, cond, mask, guidance_scale)
 
         if self.loss_type == "diffusion":
             sched = VPDiffusionSchedule(**dict(self.diff_config))
@@ -507,9 +520,14 @@ class FlowMatchingModel:
 
         if self.self_cond:
             # the x1_hat estimate persists across integration steps
-            # (notebook-02 sampling semantics; odeint_fixed_sc docstring)
+            # (notebook-02 sampling semantics; odeint_fixed_sc docstring).
+            # drift_sc returns the PHYSICAL drift dy/ds = tm * v so that
+            # odeint_fixed_sc's endpoint estimate x - t*drift is exact for
+            # the droid VE path too (y = x + s*tm*z => x = y - s*(tm*z))
+            sc_tm = self.droid_t_max if self.loss_type == "droid" else 1.0
+
             def drift_sc(t, xx, sc):
-                return module.apply(
+                return sc_tm * module.apply(
                     variables, t, xx, cond=cond, mask=mask, x_sc=sc
                 )
 
@@ -565,30 +583,11 @@ class FlowMatchingModel:
                 if self.loss_type != "diffusion":
                     raise ValueError(f"Solver {ode_solver} requires diffusion loss")
                 sched = VPDiffusionSchedule(**dict(self.diff_config))
-
-                def noise_model(t, y, _k=k):
-                    if (
-                        guidance_scale is not None
-                        and guidance_scale != 1.0
-                        and cond is not None
-                    ):
-                        # CFG on the noise prediction (the standard eps-space
-                        # formulation), one doubled-batch forward
-                        yy = jnp.concatenate([y, y], axis=0)
-                        cc = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
-                        mm = (
-                            None
-                            if mask is None
-                            else jnp.concatenate([mask, mask], axis=0)
-                        )
-                        out = module.apply(
-                            variables, _k, t, yy, cond=cc, mask=mm, method="flow_k"
-                        )
-                        e_c, e_u = jnp.split(out, 2, axis=0)
-                        return e_u + guidance_scale * (e_c - e_u)
-                    return module.apply(
-                        variables, _k, t, y, cond=cond, mask=mask, method="flow_k"
-                    )
+                # CFG on the noise prediction (the standard eps-space
+                # formulation) — same guidance combination as the ODE path
+                noise_model = self._guided_net(
+                    variables, module, k, cond, mask, guidance_scale
+                )
 
                 if ode_solver == "em":
                     x = euler_maruyama_sampler(noise_model, sched, x, rng_sde, n_steps=ode_steps)

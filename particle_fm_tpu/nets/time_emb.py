@@ -65,3 +65,28 @@ class GaussianFourierProjection(nn.Module):
         w = jax.lax.stop_gradient(w)  # frozen, like requires_grad=False
         x_proj = x[..., None] * w * 2 * math.pi
         return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
+
+
+def broadcast_time_embedding(
+    t: jnp.ndarray, n_particles: int, t_emb: str, frequencies: int
+) -> jnp.ndarray:
+    """Parameter-free time embedding broadcast per particle.
+
+    t: scalar or (B,) -> (B, N, 2*frequencies). The single definition shared
+    by CNF.time_embedding (models/cnf.py) and the pipelined vector-field twin
+    (parallel/pp.py), so the embedding convention cannot drift between them.
+    Covers the sincos/cosine ladders; the gaussian embedding has parameters
+    and lives on the CNF module.
+    """
+    t = jnp.asarray(t)
+    if t.ndim == 0:
+        t = t[None]
+    if t_emb == "sincos":
+        emb = sincos_embedding(t, frequencies)  # (B, 2f)
+    elif t_emb == "cosine":
+        emb = cosine_encoding(t, outp_dim=2 * frequencies, min_value=0.0, max_value=1.0)
+    else:
+        raise NotImplementedError(f"t_emb={t_emb} has parameters or is unknown")
+    return jnp.broadcast_to(
+        emb[..., None, :], emb.shape[:-1] + (n_particles, emb.shape[-1])
+    )

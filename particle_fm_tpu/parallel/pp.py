@@ -288,10 +288,7 @@ def make_pp_vector_field(model, mesh: Mesh, *, microbatches: int = 8):
     if model.t_emb == "gaussian":
         raise NotImplementedError("pp supports the parameter-free t embeddings")
 
-    from particle_fm_tpu.nets.time_emb import cosine_encoding, sincos_embedding
-
-    cnf = model.module.cnf_config if hasattr(model.module, "cnf_config") else {}
-    del cnf  # static config comes from the FlowMatchingModel fields below
+    from particle_fm_tpu.nets.time_emb import broadcast_time_embedding
     from particle_fm_tpu.nets.transformer import FullTransformerEncoder
 
     fte = FullTransformerEncoder(
@@ -301,24 +298,12 @@ def make_pp_vector_field(model, mesh: Mesh, *, microbatches: int = 8):
         **dict(model.net_config),
     )
 
-    def time_embedding(t, n_particles, dtype):
-        t = jnp.asarray(t)
-        if t.ndim == 0:
-            t = t[None]
-        if model.t_emb == "sincos":
-            emb = sincos_embedding(t, model.frequencies)
-        else:  # cosine
-            emb = cosine_encoding(
-                t, outp_dim=2 * model.frequencies, min_value=0.0, max_value=1.0
-            )
-        emb = emb.astype(dtype)
-        return jnp.broadcast_to(
-            emb[..., None, :], emb.shape[:-1] + (n_particles, emb.shape[-1])
-        )
-
     def vf(variables, t, x, cond=None, mask=None):
         params = variables["params"]["flows_0"]
-        t_emb = time_embedding(t, x.shape[-2], x.dtype)
+        # same embedding convention as CNF.time_embedding (shared helper)
+        t_emb = broadcast_time_embedding(
+            t, x.shape[-2], model.t_emb, model.frequencies
+        ).astype(x.dtype)
         t_emb = jnp.broadcast_to(t_emb, x.shape[:-1] + (t_emb.shape[-1],))
         if model.add_time_to_input:
             x = jnp.concatenate([t_emb, x], axis=-1)

@@ -94,11 +94,15 @@ def odeint_fixed_sc(
 ) -> jnp.ndarray:
     """Fixed-step integration for SELF-CONDITIONED fields f(t, x, x1_hat).
 
-    The carried x1_hat is the data-endpoint estimate x - t*v from the most
-    recent grid evaluation (zeros at the first step) — the sampling-time
-    analogue of the training-time stop-gradient estimate (the reference's
-    self-conditioning CFM lives only in its notebook 02; here it is a
-    first-class model option, FlowMatchingModel.self_cond). euler/midpoint.
+    f must return the PHYSICAL drift dx/dt. The carried x1_hat is the
+    data-endpoint estimate x - t*f(t, x, ...) from the most recent grid
+    evaluation (zeros at the first step) — exact for any linear
+    interpolation path x_t = x1 + t*(endpoint drift), including the droid
+    VE path once the caller folds droid_t_max into f. This is the
+    sampling-time analogue of the training-time stop-gradient estimate
+    (the reference's self-conditioning CFM lives only in its notebook 02;
+    here it is a first-class model option, FlowMatchingModel.self_cond).
+    euler/midpoint.
     """
     if method not in ("euler", "midpoint"):
         raise ValueError(f"self-conditioned sampling supports euler/midpoint, got {method}")

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from particle_fm_tpu.data.calo import CaloChallengeDataModule
 from particle_fm_tpu.data.gen_challenge import GenChallengeDataModule
@@ -255,5 +256,34 @@ def test_gen_conditioning_priority(tmp_path):
     c, m = cb._gen_conditioning(dm, split_cond, split_mask, n)
     assert m.shape == (n, jet, 1)
     assert m[:, :5].all() and not m[:, 5:].any()
-    np.testing.assert_allclose(c[:, 0], (150.0 - 100.0) / 50.0)
-    np.testing.assert_allclose(c[:, 1], (15.0 - 10.0) / 5.0)
+    # sigma-scaled z-score, the SAME transform the datamodule applies to its
+    # own conditioning (normalize_tensor with sigma=5; the reference's
+    # cond_path path also goes through normalize_tensor,
+    # jetnet_final_eval.py:171-172)
+    np.testing.assert_allclose(c[:, 0], (150.0 - 100.0) / (50.0 / 5))
+    np.testing.assert_allclose(c[:, 1], (15.0 - 10.0) / (5.0 / 5))
+
+    # layout guards: runs conditioned on type/eta cannot be served by the h5
+    dm_t = dm
+    dm_t.conditioning_type = True
+    with pytest.raises(ValueError, match="jet type"):
+        cb._gen_conditioning(dm_t, split_cond, split_mask, n)
+    dm_t.conditioning_type = False
+    dm_t.conditioning_eta = True
+    with pytest.raises(ValueError, match="jet type"):
+        cb._gen_conditioning(dm_t, split_cond, split_mask, n)
+    dm_t.conditioning_eta = False
+
+    # num_particles conditioning appends a third (normalized) column
+    dm_np = DM()
+    dm_np.mask_gen = None
+    dm_np.conditioning_num_particles = True
+    dm_np.cond_means = [100.0, 10.0, 4.0]
+    dm_np.cond_stds = [50.0, 5.0, 2.0]
+    c3, _ = cb._gen_conditioning(dm_np, np.ones((4, 3), np.float32), split_mask, n)
+    assert c3.shape == (n, 3)
+    np.testing.assert_allclose(c3[:, 2], (5.0 - 4.0) / (2.0 / 5))
+
+    # width mismatch between the built columns and the model's cond raises
+    with pytest.raises(ValueError, match="conditioning columns"):
+        cb._gen_conditioning(dm_np, np.ones((4, 7), np.float32), split_mask, n)

@@ -124,3 +124,66 @@ def test_log_prob_guard():
     x = jnp.zeros((2, 6, 2))
     with pytest.raises(NotImplementedError, match="self_cond"):
         model.log_prob(variables, x, ode_steps=4)
+
+
+class _ConstField:
+    """Stands in for model.module: constant vector field, records eager calls."""
+
+    def __init__(self, v: float):
+        self.v = v
+        self.calls = []
+
+    def apply(self, variables, t, y, cond=None, mask=None, x_sc=None):
+        try:
+            self.calls.append(
+                dict(
+                    t=np.asarray(t), y=np.asarray(y),
+                    x_sc=None if x_sc is None else np.asarray(x_sc),
+                )
+            )
+        except Exception:
+            pass  # tracers (jit) — value checks happen on outputs instead
+        return jnp.full_like(y, self.v)
+
+
+def test_x1_hat_scales_with_droid_t_max():
+    """Training-time endpoint estimate for the droid VE path: y = x + s*tm*z
+    means x1_hat = y - s*tm*v, NOT y - s*v (regression: the tm factor was
+    dropped, feeding an estimate off by droid_t_max)."""
+    tm = 50.0
+    model = _model(loss_type="droid", droid_t_max=tm)
+    rec = _ConstField(v=1.0)
+    model.module = rec  # eq=False dataclass: plain attribute override
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 6, 2).astype(np.float32))
+    loss, _ = model.loss({"params": {}}, jax.random.PRNGKey(1), x)
+    assert np.isfinite(float(loss))
+    assert len(rec.calls) == 2  # cold pass + conditioned pass
+    cold, cond_call = rec.calls
+    expected = cold["y"] - tm * cold["t"][:, None, None] * rec.v
+    got = cond_call["x_sc"]
+    assert got is not None
+    matched = 0
+    for i in range(x.shape[0]):
+        if np.allclose(got[i], 0.0):
+            continue  # this set drew the no-self-cond branch
+        np.testing.assert_allclose(got[i], expected[i], rtol=1e-5, atol=1e-5)
+        matched += 1
+    assert matched > 0
+
+
+def test_sampling_drift_scales_with_droid_t_max():
+    """Sampling-time self-cond drift for droid must be the PHYSICAL drift
+    tm * v: with a constant field v, euler from s=1 to 0 gives
+    z*tm - tm*v (regression: the tm factor was dropped)."""
+    tm = 50.0
+    v = 0.7
+    model = _model(loss_type="droid", droid_t_max=tm)
+    fake = _ConstField(v=v)
+    model.fold_weight_norm = lambda variables: (fake, variables)
+    key = jax.random.PRNGKey(7)
+    out = np.asarray(
+        model.sample({"params": {}}, key, n_samples=4, ode_solver="euler",
+                     ode_steps=9)
+    )
+    z = np.asarray(jax.random.normal(jax.random.split(key)[0], (4, 6, 2)))
+    np.testing.assert_allclose(out, z * tm - tm * v, rtol=1e-4, atol=1e-4)
