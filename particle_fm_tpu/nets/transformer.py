@@ -188,6 +188,10 @@ class MultiHeadedAttentionBlock(nn.Module):
     # score-tensor HBM traffic that dominates droid sampling — see
     # ops/attention.masked_attention). Reductions accumulate f32 either way.
     scores_dtype: str | None = None
+    # attention dispatch: "auto" (einsum/flash by shape), or "packed" to use
+    # the fused short-set Pallas kernel on self-attention shapes (falls back
+    # to einsum for cross-attention / CPU) — see ops/attention.attention.
+    attn_impl: str = "auto"
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -223,6 +227,7 @@ class MultiHeadedAttentionBlock(nn.Module):
 
         a_out = attention(
             split_heads(q_out), split_heads(k_out), split_heads(v_out), kv_mask, attn_bias,
+            impl=self.attn_impl,
             scores_dtype=jnp.dtype(self.scores_dtype) if self.scores_dtype else None,
         )
         a_out = a_out.reshape(a_out.shape[:-2] + (self.model_dim,))

@@ -89,26 +89,48 @@ def attention(
     impl: str = "auto",
     scores_dtype: jnp.dtype | None = None,
 ) -> jnp.ndarray:
-    """Dispatching front-end: impl in {"auto", "einsum", "flash", "fused"}.
+    """Dispatching front-end: impl in {"auto", "einsum", "flash", "fused",
+    "packed"}.
 
     "auto" picks the blockwise flash kernel for long sequences with
     lane-tiling head dims on accelerator backends, else the einsum path.
 
-    "fused" (ops/pallas/short_attention.py — whole score tensor in VMEM,
-    attn_bias support) is EXPLICIT-ONLY and experimental: on v5e it measured
-    bit-exact but SLOWER end to end than the einsum path at the droid
-    production config (158 vs 273 jets/s — B=640 one-program-per-set grids
-    with D=16 lane padding and VPU-bound softmax lose to XLA's fused
-    softmax pipeline), and the mixed Lq!=Lk cross-attention shapes faulted
-    the TPU worker. Kept as measured-negative-result infrastructure (same
-    status as ops/pallas/epic_layer.py); do not auto-dispatch without
-    re-validating on the target generation/toolchain.
+    "packed" (ops/pallas/short_attention.py::packed_short_attention) is the
+    short-set fused kernel in the packed (B, L, H*D) lane-major layout: zero
+    HBM materialization of the (B, H, L, L) scores AND zero relayout of
+    q/k/v. Self-attention shapes only (Lq == Lk <= 256); silently falls back
+    to the einsum path for cross-attention shapes, longer sets, or the CPU
+    backend (no Mosaic), so a model config can set it arch-wide.
+    Differentiable (einsum-path VJP). MEASURED (v5e, droid production
+    config, end-to-end sampling, 2026-08): 436 jets/s at B=128 vs the
+    bf16-scores einsum path's 556 at its tuned batch — at that batch the
+    einsum path is already at the VPU-softmax floor (score HBM traffic
+    fully overlapped), so the kernel's saved traffic buys nothing and its
+    per-head lane-slice relayouts cost ~25%. It DOES beat the einsum paths
+    at large dispatch (B=640: packed 362 vs bf16-einsum 411 vs f32 273),
+    but production tunes the batch per arch, so it stays explicit-only.
+
+    "fused" (fused_short_attention — same goal, take 1) is EXPLICIT-ONLY and
+    kept as a measured negative result: on v5e it was SLOWER end to end than
+    the einsum path at the droid production config (158 vs 273 jets/s — the
+    (B, H, L, D) blocks pay XLA-side transposes, 8x D=16 lane padding, and a
+    full-f32 in-place softmax), and its mixed Lq!=Lk shapes faulted the TPU
+    worker. See docs/RESULTS.md round 3; do not auto-dispatch.
     """
+    lq, lk, d = q.shape[1], k.shape[1], k.shape[-1]
+    on_accel = jax.default_backend() != "cpu"
     if impl == "auto":
-        lk, d = k.shape[1], k.shape[-1]
-        on_accel = jax.default_backend() != "cpu"
         use_flash = on_accel and attn_bias is None and lk >= 1024 and d % 128 == 0
         impl = "flash" if use_flash else "einsum"
+    if impl == "packed":
+        from particle_fm_tpu.ops.pallas.short_attention import (
+            MAX_PACKED_LEN,
+            packed_short_attention,
+        )
+
+        if on_accel and lq == lk and lk <= MAX_PACKED_LEN:
+            return packed_short_attention(q, k, v, kv_mask, attn_bias)
+        impl = "einsum"
     if impl == "flash":
         from particle_fm_tpu.ops.pallas.flash_attention import flash_masked_attention
 
