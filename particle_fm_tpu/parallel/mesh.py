@@ -105,6 +105,13 @@ def stacked_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, "data"))
 
 
+def perm_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (E, K, B) fused-epoch permutation indices: epoch and
+    scan axes replicated, batch axis over 'data' (so the in-scan gather
+    lands each device's batch shard locally for uniform shuffles)."""
+    return NamedSharding(mesh, P(None, None, "data"))
+
+
 def sp_sharding(mesh: Mesh) -> NamedSharding:
     """Sequence parallelism: shard (batch, particle) over ('data', 'model').
 

@@ -18,6 +18,7 @@ from flax import struct
 
 from particle_fm_tpu.parallel.mesh import (
     batch_sharding,
+    perm_sharding,
     replicated,
     sp_sharding,
     stacked_sharding,
@@ -190,6 +191,68 @@ def make_train_epoch(
             donate_argnums=(0,),
         )
     return jax.jit(epoch_fn, donate_argnums=(0,))
+
+
+def make_train_superepoch(
+    model,
+    optimizer: optax.GradientTransformation,
+    ema_decay: float = 0.999,
+    ema_every_n: int = 1,
+    ema_start_step: int = 0,
+    mesh=None,
+) -> Callable:
+    """Build `superepoch(state, rng, x, mask, cond, perms) -> (state, losses)`:
+    E whole epochs as ONE jitted scan-of-scans.
+
+    x/mask/cond are the device-cached full train split (N, ...); perms is
+    (E, K, B) int32 — each row an epoch's host-generated shuffle (the SAME
+    np.random.default_rng(seed + epoch) permutation the per-epoch paths use,
+    so fused and sequential training are bit-identical). Each outer-scan
+    iteration gathers its epoch's shuffled batches on device and runs the
+    make_train_epoch inner scan; per-step rng still varies via
+    fold_in(rng, state.step).
+
+    Motivation (measured, docs/RESULTS.md round 3): each epoch dispatched
+    from Python pays a host sync (the per-epoch train_loss readback) plus
+    ~30 ms relay latency on tunneled hosts; at the flagship's 0.25 s/epoch
+    that overhead is the majority. Fusing E epochs amortizes it E-fold.
+    Returns losses (E, K)."""
+    step_fn = _build_step_fn(
+        model, optimizer, ema_decay=ema_decay, ema_every_n=ema_every_n,
+        ema_start_step=ema_start_step,
+    )
+
+    def super_fn(state: TrainState, rng: jax.Array, x, mask, cond, perms):
+        def epoch_body(st, perm):  # perm (K, B)
+            flat = perm.reshape(-1)
+
+            def take(a):
+                if a is None:
+                    return None
+                g = jnp.take(a, flat, axis=0)
+                return g.reshape(perm.shape + a.shape[1:])
+
+            def body(s, batch):
+                xb, mb, cb = batch
+                return step_fn(s, rng, xb, mb, cb)
+
+            st, losses = jax.lax.scan(body, st, (take(x), take(mask), take(cond)))
+            return st, losses
+
+        state, losses = jax.lax.scan(epoch_body, state, perms)
+        return state, losses  # (E, K)
+
+    if mesh is not None:
+        repl = replicated(mesh)
+        data = batch_sharding(mesh)
+        perm_sh = perm_sharding(mesh)
+        return jax.jit(
+            super_fn,
+            in_shardings=(None, repl, data, data, data, perm_sh),
+            out_shardings=(None, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(super_fn, donate_argnums=(0,))
 
 
 def make_eval_step(model, mesh=None) -> Callable:
