@@ -32,6 +32,7 @@ from particle_fm_tpu.parallel.train import (
     make_eval_step,
     make_train_epoch,
     make_train_step,
+    make_train_superepoch,
 )
 from particle_fm_tpu.training.checkpoint import CheckpointManager
 
@@ -68,6 +69,16 @@ class Trainer:
     # device cache): amortizes the fixed per-dispatch relay latency
     # (~20-30 ms on tunneled hosts) over the whole epoch
     scan_epochs: bool = True
+    # fuse groups of N epochs into ONE jitted scan-of-scans (requires
+    # scan_epochs + the device cache): shuffles happen on device per fused
+    # epoch (same host-seeded permutations, bit-identical to sequential), and
+    # the per-epoch host sync + relay dispatch is paid once per group —
+    # measured as the MAJORITY of flagship epoch wall time (RESULTS.md
+    # round 3). Validation/callbacks/checkpoints/logging run at group
+    # boundaries only; groups align to multiples of fuse_epochs, so choose
+    # check_val_every_n_epoch (and callback cadences) as multiples of it to
+    # keep their schedules exact. 1 = off (reference-like per-epoch loop).
+    fuse_epochs: int = 1
     seed: int = 0
     verbose: bool = True
     mesh: object = None
@@ -201,6 +212,18 @@ class Trainer:
             if self.scan_epochs
             else None
         )
+        self.train_superepoch = (
+            make_train_superepoch(
+                self.model,
+                self.optimizer,
+                ema_decay=self.ema_decay,
+                ema_every_n=self.ema_every_n,
+                ema_start_step=self.ema_start_step,
+                mesh=self.mesh,
+            )
+            if (self.scan_epochs and self.fuse_epochs > 1)
+            else None
+        )
         self.ckpt = (
             CheckpointManager(self.ckpt_dir, self.ckpt_monitors, self.ckpt_top_k)
             if self.ckpt_dir
@@ -301,26 +324,51 @@ class Trainer:
         dev_data = self._maybe_cache_train_data()
 
         start_epoch = int(np.asarray(state.step)) // max(self.datamodule.steps_per_epoch, 1)
-        for epoch in range(start_epoch, self.max_epochs):
-            self.epoch = epoch
+        epoch = start_epoch
+        while epoch < self.max_epochs:
             t0 = time.perf_counter()
-            stacked = (
-                self._stack_epoch(dev_data, epoch)
-                if (self.train_epoch is not None and dev_data is not None)
-                else None
-            )
-            if stacked is not None:
-                self.state, losses_arr = self.train_epoch(self.state, rng, *stacked)
-                train_loss = float(np.mean(np.asarray(losses_arr)))
-                # release the epoch's stacked shuffle copy before validation/
-                # eval callbacks run (it is a second full-dataset HBM buffer)
-                del stacked
-            else:
-                losses = []
-                for batch in self._epoch_batches(dev_data, epoch):
-                    self.state, loss = self.train_step(self.state, rng, *batch)
-                    losses.append(loss)
-                train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else np.nan
+            # fused-epoch groups align to multiples of fuse_epochs (a resumed
+            # mid-group start runs a short first group), so periodic work with
+            # cadences that are multiples of fuse_epochs keeps its schedule
+            group = 1
+            if self.train_superepoch is not None and dev_data is not None:
+                group = min(
+                    self.fuse_epochs - (epoch % self.fuse_epochs),
+                    self.max_epochs - epoch,
+                )
+            if group > 1:
+                perms = self._group_perms(dev_data, epoch, group)
+                if perms is None:
+                    group = 1  # split smaller than one batch: per-step path
+                else:
+                    x_all, m_all, c_all = dev_data
+                    self.state, losses_arr = self.train_superepoch(
+                        self.state, rng, x_all, m_all, c_all, perms
+                    )
+                    # report the group's LAST epoch (the per-epoch value the
+                    # sequential loop would log at this epoch index)
+                    train_loss = float(np.mean(np.asarray(losses_arr)[-1]))
+                    del perms
+            if group == 1:
+                stacked = (
+                    self._stack_epoch(dev_data, epoch)
+                    if (self.train_epoch is not None and dev_data is not None)
+                    else None
+                )
+                if stacked is not None:
+                    self.state, losses_arr = self.train_epoch(self.state, rng, *stacked)
+                    train_loss = float(np.mean(np.asarray(losses_arr)))
+                    # release the epoch's stacked shuffle copy before validation/
+                    # eval callbacks run (it is a second full-dataset HBM buffer)
+                    del stacked
+                else:
+                    losses = []
+                    for batch in self._epoch_batches(dev_data, epoch):
+                        self.state, loss = self.train_step(self.state, rng, *batch)
+                        losses.append(loss)
+                    train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else np.nan
+            epoch = epoch + group - 1  # group's last epoch: all per-epoch work below
+            self.epoch = epoch
             metrics = {"train_loss": train_loss, "epoch_time": time.perf_counter() - t0}
 
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
@@ -354,6 +402,7 @@ class Trainer:
                 if self.verbose:
                     print(f"[trainer] stop requested at epoch {epoch}")
                 break
+            epoch += 1
         return self.state
 
     def _maybe_cache_train_data(self):
@@ -388,6 +437,27 @@ class Trainer:
         bit-identically or scan-vs-loop numeric parity silently breaks."""
         perm = np.random.default_rng(self.seed + epoch).permutation(n)[:n_use]
         return shard_batch((jnp.asarray(perm),), self.mesh)[0]
+
+    def _group_perms(self, dev_data, epoch: int, group: int):
+        """Stacked (E, K, B) device permutations for a fused-epoch group —
+        built with the SAME per-epoch host RNG as _epoch_perm, so fused and
+        sequential training shuffle bit-identically. None when the split has
+        no full batch (the per-step fallback handles that)."""
+        bs = self.datamodule.batch_size
+        n = dev_data[0].shape[0]
+        n_use = n - (n % bs)
+        if n_use == 0:
+            return None
+        k = n_use // bs
+        perms = np.stack(
+            [
+                np.random.default_rng(self.seed + e).permutation(n)[:n_use].reshape(k, bs)
+                for e in range(epoch, epoch + group)
+            ]
+        )
+        from particle_fm_tpu.parallel.mesh import perm_sharding
+
+        return jax.device_put(jnp.asarray(perms), perm_sharding(self.mesh))
 
     def _stack_epoch(self, dev_data, epoch: int):
         """The epoch's shuffled batches as stacked (K, B, ...) device arrays

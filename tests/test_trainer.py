@@ -159,3 +159,66 @@ def test_scanned_epoch_matches_per_step_loop(tmp_path):
     np.testing.assert_allclose(loss_scan, loss_loop, rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p_scan), jax.tree_util.tree_leaves(p_loop)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_fused_epochs_match_sequential(tmp_path):
+    """fuse_epochs=2 (one jitted scan-of-scans per group, on-device shuffles)
+    must be numerically identical to the sequential per-epoch scan path:
+    same host-seeded permutations, same step body, same rng folding."""
+
+    def run(fuse, sub):
+        dm = JetNetDataModule(
+            jet_type=("t",), num_particles=8, batch_size=64,
+            synthetic=True, synthetic_num_jets=320,
+        )
+        dm.setup()
+        model = FlowMatchingModel(
+            model="epic", features=3, num_particles=8, hidden_dim=16, latent=4,
+            layers=1, frequencies=6, loss_type="CFM",
+            global_cond_dim=dm.num_cond_features,
+            local_cond_dim=dm.num_cond_features,
+        )
+        trainer = Trainer(
+            model=model, datamodule=dm, optimizer=make_optimizer(lr=1e-3),
+            max_epochs=4, callbacks=[], ckpt_dir=None,
+            log_dir=str(tmp_path / sub), verbose=False, fuse_epochs=fuse,
+            check_val_every_n_epoch=2,
+        )
+        trainer.fit()
+        return trainer.epoch, trainer.last_metrics, jax.device_get(trainer.state.params)
+
+    e_fused, m_fused, p_fused = run(2, "fused")
+    e_seq, m_seq, p_seq = run(1, "seq")
+    assert e_fused == e_seq == 3
+    np.testing.assert_allclose(
+        m_fused["train_loss"], m_seq["train_loss"], rtol=1e-5
+    )
+    np.testing.assert_allclose(m_fused["val_loss"], m_seq["val_loss"], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_fused), jax.tree_util.tree_leaves(p_seq)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_fused_epochs_partial_group(tmp_path):
+    """max_epochs not a multiple of fuse_epochs: the last group is short, and
+    a resume mid-group aligns back to fuse boundaries."""
+    dm = JetNetDataModule(
+        jet_type=("t",), num_particles=8, batch_size=64,
+        synthetic=True, synthetic_num_jets=320,
+    )
+    dm.setup()
+    model = FlowMatchingModel(
+        model="epic", features=3, num_particles=8, hidden_dim=16, latent=4,
+        layers=1, frequencies=6, loss_type="CFM",
+        global_cond_dim=dm.num_cond_features,
+        local_cond_dim=dm.num_cond_features,
+    )
+    trainer = Trainer(
+        model=model, datamodule=dm, optimizer=make_optimizer(lr=1e-3),
+        max_epochs=5, callbacks=[], ckpt_dir=None,
+        log_dir=str(tmp_path / "p"), verbose=False, fuse_epochs=3,
+        check_val_every_n_epoch=100,
+    )
+    trainer.fit()
+    # groups: [0,1,2], [3,4] -> 5 epochs of steps exactly
+    assert int(np.asarray(trainer.state.step)) == 5 * dm.steps_per_epoch
+    assert trainer.epoch == 4
