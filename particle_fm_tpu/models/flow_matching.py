@@ -179,6 +179,15 @@ class FlowMatchingModel:
         return self.module.apply(variables, t, x, cond=cond, mask=mask)
 
     # --------------------------------------------------------- loss
+    def loss_accum_weight(self, x, mask):
+        """Gradient-accumulation weight: the loss-normalization mass of one
+        microbatch. Every FM loss normalizes by mask.sum() (losses/
+        flow_matching.py::_reduce), so weighting microbatch gradients by it
+        makes the accumulated gradient equal the big-batch gradient exactly."""
+        if mask is None:
+            return jnp.asarray(x.shape[0] * x.shape[1], jnp.float32)
+        return jnp.sum(mask).astype(jnp.float32)
+
     def loss(
         self,
         variables: dict,

@@ -117,6 +117,106 @@ def _build_step_fn(
     return step_fn
 
 
+def _build_accum_step_fn(
+    model,
+    optimizer: optax.GradientTransformation,
+    ema_decay: float = 0.999,
+    ema_every_n: int = 1,
+    ema_start_step: int = 0,
+    vf_fn=None,
+) -> Callable:
+    """Gradient-accumulation step body: `step(state, rng, xs, ms, cs)` where
+    the data args carry a leading microbatch axis (A, B, ...). The A
+    microbatch gradients are computed sequentially under one lax.scan (XLA
+    keeps a single microbatch's activations live — the point: effective batch
+    A*B with batch-B activation memory), combined as a weighted average, and
+    ONE optimizer/EMA update is applied per call (state.step counts optimizer
+    steps, as in Lightning).
+
+    Weighting: each microbatch contributes with the model's loss-normalization
+    mass (`model.loss_accum_weight`, e.g. mask.sum() for the sum/mask.sum()
+    flow-matching losses; batch size otherwise), so for mask-normalized losses
+    the accumulated gradient equals the single big-batch gradient exactly —
+    stricter than Lightning's equal-weight average over microbatches
+    (reference surface: pytorch_lightning Trainer(accumulate_grad_batches=A),
+    available to every reference config's trainer group). Per-microbatch
+    randomness comes from fold_in(step_rng, microbatch_index).
+    """
+    weight_fn = getattr(model, "loss_accum_weight", None)
+
+    def step_fn(state: TrainState, rng: jax.Array, xs, ms, cs):
+        rng = jax.random.fold_in(rng, state.step)
+        n_micro = xs.shape[0]
+
+        def micro(carry, inp):
+            stats, gsum, wsum, lsum = carry
+            i, x, m, c = inp
+            rng_i = jax.random.fold_in(rng, i)
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if stats:
+                    variables["norm_stats"] = stats
+                extra = {} if vf_fn is None else {"vf_fn": vf_fn}
+                return model.loss(
+                    variables, rng_i, x, mask=m, cond=c, train=True, **extra
+                )
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            w = (
+                weight_fn(x, m)
+                if weight_fn is not None
+                else jnp.asarray(x.shape[0], jnp.float32)
+            )
+            w = jnp.asarray(w, jnp.float32)
+            gsum = jax.tree_util.tree_map(
+                lambda a, g: a + w * g.astype(a.dtype), gsum, grads
+            )
+            return (
+                new_stats.get("norm_stats", stats),
+                gsum,
+                wsum + w,
+                lsum + w * loss,
+            ), None
+
+        zero_g = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+        )
+        carry0 = (state.norm_stats, zero_g, jnp.zeros((), jnp.float32), jnp.zeros(()))
+        (new_norm_stats, gsum, wsum, lsum), _ = jax.lax.scan(
+            micro, carry0, (jnp.arange(n_micro), xs, ms, cs)
+        )
+        grads = jax.tree_util.tree_map(lambda a: (a / wsum), gsum)
+        # cast the averaged f32 accumulator back to each param's dtype so the
+        # optimizer sees the dtypes it was init'd with
+        grads = jax.tree_util.tree_map(
+            lambda g, p: g.astype(p.dtype), grads, state.params
+        )
+        loss = lsum / wsum
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = ema_update(
+            state.ema_params,
+            new_params,
+            state.step,
+            decay=ema_decay,
+            every_n=ema_every_n,
+            start_step=ema_start_step,
+        )
+        new_state = state.replace(
+            params=new_params,
+            norm_stats=new_norm_stats,
+            ema_params=new_ema,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, loss
+
+    return step_fn
+
+
 def make_train_step(
     model,
     optimizer: optax.GradientTransformation,
@@ -125,12 +225,36 @@ def make_train_step(
     ema_start_step: int = 0,
     mesh=None,
     sp: bool = False,
+    accum: int = 1,
 ) -> Callable:
     """Build `train_step(state, rng, x, mask, cond) -> (state, loss)` (jitted).
 
     With `sp=True` the particle axis of x/mask additionally shards over the
     'model' mesh axis (sequence parallelism; place batches with
-    shard_batch_sp) — XLA emits the psum for set-axis reductions."""
+    shard_batch_sp) — XLA emits the psum for set-axis reductions.
+
+    With `accum=A > 1` the data args instead carry a leading microbatch axis
+    (A, B, ...) and the step applies ONE weighted-average optimizer update
+    (see _build_accum_step_fn)."""
+    if accum > 1:
+        step_fn = _build_accum_step_fn(
+            model, optimizer, ema_decay=ema_decay, ema_every_n=ema_every_n,
+            ema_start_step=ema_start_step,
+        )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = replicated(mesh)
+            data = NamedSharding(mesh, P(None, "data"))
+            seq = NamedSharding(mesh, P(None, "data", "model")) if sp else data
+            return jax.jit(
+                step_fn,
+                in_shardings=(None, repl, seq, seq, data),
+                out_shardings=(None, repl),
+                donate_argnums=(0,),
+            )
+        return jax.jit(step_fn, donate_argnums=(0,))
+
     step_fn = _build_step_fn(
         model, optimizer, ema_decay=ema_decay, ema_every_n=ema_every_n,
         ema_start_step=ema_start_step,
@@ -160,17 +284,27 @@ def make_train_epoch(
     ema_every_n: int = 1,
     ema_start_step: int = 0,
     mesh=None,
+    accum: int = 1,
 ) -> Callable:
     """Build `train_epoch(state, rng, xs, ms, cs) -> (state, losses)`: a
     whole epoch of K steps as ONE jitted lax.scan over stacked batches
     (K, B, ...). On environments where every dispatch pays a large fixed
     relay latency (axon: ~20-30 ms/call) this amortizes it over the epoch —
     the same trick the scan-batched sampler uses (bench.py). The per-step
-    rng still varies via fold_in(rng, state.step) inside the step body."""
-    step_fn = _build_step_fn(
-        model, optimizer, ema_decay=ema_decay, ema_every_n=ema_every_n,
-        ema_start_step=ema_start_step,
-    )
+    rng still varies via fold_in(rng, state.step) inside the step body.
+
+    With `accum=A > 1` the stacked batches are (K, A, B, ...) and each scan
+    iteration is one accumulated optimizer step over A microbatches."""
+    if accum > 1:
+        step_fn = _build_accum_step_fn(
+            model, optimizer, ema_decay=ema_decay, ema_every_n=ema_every_n,
+            ema_start_step=ema_start_step,
+        )
+    else:
+        step_fn = _build_step_fn(
+            model, optimizer, ema_decay=ema_decay, ema_every_n=ema_every_n,
+            ema_start_step=ema_start_step,
+        )
 
     def epoch_fn(state: TrainState, rng: jax.Array, xs, ms, cs):
         def body(st, batch):
@@ -182,8 +316,14 @@ def make_train_epoch(
         return state, losses
 
     if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         repl = replicated(mesh)
-        stacked = stacked_sharding(mesh)
+        stacked = (
+            NamedSharding(mesh, P(None, None, "data"))
+            if accum > 1
+            else stacked_sharding(mesh)
+        )
         return jax.jit(
             epoch_fn,
             in_shardings=(None, repl, stacked, stacked, stacked),
@@ -200,9 +340,13 @@ def make_train_superepoch(
     ema_every_n: int = 1,
     ema_start_step: int = 0,
     mesh=None,
+    accum: int = 1,
 ) -> Callable:
     """Build `superepoch(state, rng, x, mask, cond, perms) -> (state, losses)`:
     E whole epochs as ONE jitted scan-of-scans.
+
+    With `accum=A > 1` perms are (E, K_opt, A, B) and each inner-scan
+    iteration is one accumulated optimizer step over A gathered microbatches.
 
     x/mask/cond are the device-cached full train split (N, ...); perms is
     (E, K, B) int32 — each row an epoch's host-generated shuffle (the SAME
@@ -217,13 +361,19 @@ def make_train_superepoch(
     ~30 ms relay latency on tunneled hosts; at the flagship's 0.25 s/epoch
     that overhead is the majority. Fusing E epochs amortizes it E-fold.
     Returns losses (E, K)."""
-    step_fn = _build_step_fn(
-        model, optimizer, ema_decay=ema_decay, ema_every_n=ema_every_n,
-        ema_start_step=ema_start_step,
-    )
+    if accum > 1:
+        step_fn = _build_accum_step_fn(
+            model, optimizer, ema_decay=ema_decay, ema_every_n=ema_every_n,
+            ema_start_step=ema_start_step,
+        )
+    else:
+        step_fn = _build_step_fn(
+            model, optimizer, ema_decay=ema_decay, ema_every_n=ema_every_n,
+            ema_start_step=ema_start_step,
+        )
 
     def super_fn(state: TrainState, rng: jax.Array, x, mask, cond, perms):
-        def epoch_body(st, perm):  # perm (K, B)
+        def epoch_body(st, perm):  # perm (K, B), or (K_opt, A, B) with accum
             flat = perm.reshape(-1)
 
             def take(a):
@@ -243,9 +393,15 @@ def make_train_superepoch(
         return state, losses  # (E, K)
 
     if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         repl = replicated(mesh)
         data = batch_sharding(mesh)
-        perm_sh = perm_sharding(mesh)
+        perm_sh = (
+            NamedSharding(mesh, P(None, None, None, "data"))
+            if accum > 1
+            else perm_sharding(mesh)
+        )
         return jax.jit(
             super_fn,
             in_shardings=(None, repl, data, data, data, perm_sh),

@@ -101,7 +101,10 @@ def train(cfg: dict, extra_callbacks: list | None = None) -> tuple[dict, dict]:
 
     trainer_cfg = dict(cfg.get("trainer", {}))
     trainer_cfg.pop("multihost", None)  # consumed by maybe_initialize_distributed
-    lr = build_lr(optimizer_cfg, scheduler_cfg, max(dm.steps_per_epoch, 1))
+    # LR schedules count OPTIMIZER steps: with gradient accumulation an epoch
+    # makes steps_per_epoch // accumulate_grad_batches of them
+    accum = int(trainer_cfg.get("accumulate_grad_batches", 1) or 1)
+    lr = build_lr(optimizer_cfg, scheduler_cfg, max(dm.steps_per_epoch // max(accum, 1), 1))
     optimizer = make_optimizer(
         lr=lr,
         weight_decay=optimizer_cfg.get("weight_decay", 5e-5),

@@ -6,6 +6,16 @@ The reference keeps 3 ModelCheckpoints (val/loss, w1m_mean, w1p_mean), a
 orbax checkpoint stores the full TrainState (params + EMA params + opt state
 + norm stats + step), and retention is metric-keyed per monitor: directory
 names embed the metric value (like the reference's filename-parsing top-k).
+
+Saves are ASYNCHRONOUS by default (`async_save=True`): the state is
+snapshotted with an on-device copy (cheap HBM-to-HBM, dispatched before the
+next donating train step can reuse the buffers), and the device->host
+transfer + orbax write run on a single background worker thread — the train
+loop never blocks on checkpoint I/O. Top-k admission/pruning decisions use an
+in-memory mirror of the directory so queued-but-unwritten checkpoints are
+accounted for. Every read path (restore / best_path / last_path) and the
+trainer's fit-end flush joins the queue first, so observable semantics match
+synchronous saving exactly.
 """
 
 from __future__ import annotations
@@ -13,9 +23,11 @@ from __future__ import annotations
 import os
 import re
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -43,46 +55,97 @@ class CheckpointManager:
     directory: str
     monitors: dict = field(default_factory=lambda: {"val_loss": "min"})
     top_k: int = 1
+    async_save: bool = True
 
     def __post_init__(self):
         self.directory = os.path.abspath(self.directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self._pool = (
+            ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
+            if self.async_save
+            else None
+        )
+        self._pending = []
+        # in-memory mirror of each monitor dir: [(value, dirname)] — queued
+        # async saves appear here immediately, so top-k admission/pruning
+        # decisions never race the worker's filesystem writes
+        self._entries: dict[str, list] = {}
 
     # ----------------------------------------------------------------- io
-    def _save(self, path: str, state) -> None:
+    def _write(self, path: str, host_or_dev_state) -> None:
+        """The blocking write (worker thread when async): D2H + orbax save."""
         if os.path.exists(path):
             shutil.rmtree(path)
         # pull to host first: orbax's per-array replica-slice transfer is
         # ~35x slower than one bulk device_get for replicated states
-        self._ckptr.save(path, jax.device_get(state))
+        self._ckptr.save(path, jax.device_get(host_or_dev_state))
         self._ckptr.wait_until_finished()
+
+    def _save(self, path: str, state, after=None) -> None:
+        if self._pool is None:
+            self._write(path, state)
+            if after is not None:
+                after()
+            return
+        # snapshot with an async on-device copy: the copy is dispatched NOW,
+        # before the next train step (donate_argnums) can reuse the state's
+        # buffers, and it is never donated itself — the worker can D2H it
+        # whenever it gets scheduled
+        snap = jax.tree_util.tree_map(jnp.copy, state)
+
+        def job():
+            self._write(path, snap)
+            if after is not None:
+                after()
+
+        self._pending.append(self._pool.submit(job))
+
+    def flush(self) -> None:
+        """Join all queued async saves (re-raising any worker exception)."""
+        pending, self._pending = self._pending, []
+        for f in pending:
+            f.result()
 
     def save_last(self, state) -> str:
         path = os.path.join(self.directory, "last")
         self._save(path, state)
         return path
 
+    def _monitor_entries(self, monitor: str, mdir: str) -> list:
+        if monitor not in self._entries:
+            names = os.listdir(mdir) if os.path.isdir(mdir) else []
+            self._entries[monitor] = [(_parse(n), n) for n in names]
+        return self._entries[monitor]
+
     def save_metric(self, state, monitor: str, value: float, step: int) -> str | None:
         """Save iff `value` makes the monitor's top-k; prune beyond top_k."""
         mode = self.monitors.get(monitor, "min")
         mdir = os.path.join(self.directory, monitor)
         os.makedirs(mdir, exist_ok=True)
-        existing = sorted(os.listdir(mdir), key=_parse, reverse=(mode == "max"))
         sign = 1.0 if mode == "min" else -1.0
-        if len(existing) >= self.top_k:
-            worst = existing[-1]
-            if sign * value >= sign * _parse(worst):
-                return None
-        path = os.path.join(mdir, f"step_{step}_metric_{_sanitize(value)}")
-        self._save(path, state)
-        # prune
-        entries = sorted(os.listdir(mdir), key=lambda n: sign * _parse(n))
-        for stale in entries[self.top_k :]:
-            shutil.rmtree(os.path.join(mdir, stale))
+        entries = self._monitor_entries(monitor, mdir)
+        entries.sort(key=lambda e: sign * e[0])
+        if len(entries) >= self.top_k and sign * value >= sign * entries[-1][0]:
+            return None
+        name = f"step_{step}_metric_{_sanitize(value)}"
+        path = os.path.join(mdir, name)
+        entries.append((value, name))
+        entries.sort(key=lambda e: sign * e[0])
+        stale = [n for _, n in entries[self.top_k :]]
+        del entries[self.top_k :]
+
+        def prune():
+            for s in stale:
+                p = os.path.join(mdir, s)
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+
+        self._save(path, state, after=prune)
         return path
 
     def best_path(self, monitor: str) -> str | None:
+        self.flush()
         mdir = os.path.join(self.directory, monitor)
         if not os.path.isdir(mdir) or not os.listdir(mdir):
             return None
@@ -92,11 +155,13 @@ class CheckpointManager:
         return os.path.join(mdir, best)
 
     def last_path(self) -> str | None:
+        self.flush()
         path = os.path.join(self.directory, "last")
         return path if os.path.exists(path) else None
 
     def restore(self, path: str, target):
         """Restore into the structure of `target` (a concrete TrainState)."""
+        self.flush()
         return self._ckptr.restore(os.path.abspath(path), target=target)  # orbax requires absolute
 
 

@@ -53,6 +53,11 @@ class Trainer:
     ckpt_dir: Optional[str] = None
     ckpt_monitors: dict = field(default_factory=lambda: {"val_loss": "min"})
     ckpt_top_k: int = 1
+    # write checkpoints asynchronously: the state is snapshotted on device
+    # and the D2H transfer + orbax write run on a background thread, so the
+    # epoch loop never blocks on checkpoint I/O (flushed at every read path
+    # and at fit end — see training/checkpoint.py)
+    ckpt_async: bool = True
     save_last_every_n_epoch: int = 10
     log_dir: Optional[str] = None
     logger_backends: tuple = ("jsonl",)
@@ -65,6 +70,11 @@ class Trainer:
     # split is < device_cache_limit_mb.
     cache_data_on_device: Optional[bool] = None
     device_cache_limit_mb: int = 2048
+    # streaming path only (split larger than the device cache): how many
+    # placed batches a background thread keeps in flight, overlapping host
+    # batch prep + H2D transfer with device compute (the reference's
+    # DataLoader num_workers/pin_memory role). 0 disables.
+    prefetch_batches: int = 2
     # run each epoch as ONE jitted lax.scan over its batches (requires the
     # device cache): amortizes the fixed per-dispatch relay latency
     # (~20-30 ms on tunneled hosts) over the whole epoch
@@ -79,6 +89,17 @@ class Trainer:
     # check_val_every_n_epoch (and callback cadences) as multiples of it to
     # keep their schedules exact. 1 = off (reference-like per-epoch loop).
     fuse_epochs: int = 1
+    # gradient accumulation: one optimizer step per N microbatches of
+    # datamodule.batch_size (effective batch = N x batch_size with
+    # single-microbatch activation memory). Microbatch gradients are averaged
+    # weighted by the model's loss-normalization mass (mask.sum() for the
+    # masked FM losses), so the update equals the big-batch gradient exactly
+    # — stricter than Lightning's accumulate_grad_batches equal-weight mean.
+    # Trailing microbatches that don't fill a group are dropped. LR schedules
+    # built per optimizer step should use steps_per_epoch // N (train.py
+    # does). Not supported with strategy=pp/dp_pp (the pipeline microbatches
+    # internally).
+    accumulate_grad_batches: int = 1
     seed: int = 0
     verbose: bool = True
     mesh: object = None
@@ -128,6 +149,14 @@ class Trainer:
             raise ValueError(
                 f"unknown trainer.strategy {self.strategy!r} "
                 "(expected dp | fsdp | dp_tp | sp | pp | dp_pp | dp_ep)"
+            )
+        if self.accumulate_grad_batches < 1:
+            raise ValueError("trainer.accumulate_grad_batches must be >= 1")
+        if self.accumulate_grad_batches > 1 and self.strategy in ("pp", "dp_pp"):
+            raise ValueError(
+                "accumulate_grad_batches is not supported with strategy=pp/dp_pp "
+                "(the pipeline already microbatches internally; raise "
+                "pp_microbatches instead)"
             )
         if self.mesh is None:
             if self.strategy in ("pp", "dp_pp"):
@@ -198,6 +227,7 @@ class Trainer:
                 ema_start_step=self.ema_start_step,
                 mesh=self.mesh,
                 sp=self.strategy == "sp",
+                accum=self.accumulate_grad_batches,
             )
             self.eval_step = make_eval_step(self.model, mesh=self.mesh)
         self.train_epoch = (
@@ -208,6 +238,7 @@ class Trainer:
                 ema_every_n=self.ema_every_n,
                 ema_start_step=self.ema_start_step,
                 mesh=self.mesh,
+                accum=self.accumulate_grad_batches,
             )
             if self.scan_epochs
             else None
@@ -220,12 +251,18 @@ class Trainer:
                 ema_every_n=self.ema_every_n,
                 ema_start_step=self.ema_start_step,
                 mesh=self.mesh,
+                accum=self.accumulate_grad_batches,
             )
             if (self.scan_epochs and self.fuse_epochs > 1)
             else None
         )
         self.ckpt = (
-            CheckpointManager(self.ckpt_dir, self.ckpt_monitors, self.ckpt_top_k)
+            CheckpointManager(
+                self.ckpt_dir,
+                self.ckpt_monitors,
+                self.ckpt_top_k,
+                async_save=self.ckpt_async,
+            )
             if self.ckpt_dir
             else None
         )
@@ -323,7 +360,12 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed + 1)
         dev_data = self._maybe_cache_train_data()
 
-        start_epoch = int(np.asarray(state.step)) // max(self.datamodule.steps_per_epoch, 1)
+        # state.step counts OPTIMIZER steps (steps_per_epoch microbatches
+        # make steps_per_epoch // accumulate_grad_batches of them)
+        opt_steps_per_epoch = max(
+            self.datamodule.steps_per_epoch // self.accumulate_grad_batches, 1
+        )
+        start_epoch = int(np.asarray(state.step)) // opt_steps_per_epoch
         epoch = start_epoch
         while epoch < self.max_epochs:
             t0 = time.perf_counter()
@@ -363,7 +405,12 @@ class Trainer:
                     del stacked
                 else:
                     losses = []
-                    for batch in self._epoch_batches(dev_data, epoch):
+                    batches = (
+                        self._epoch_accum_batches(dev_data, epoch)
+                        if self.accumulate_grad_batches > 1
+                        else self._epoch_batches(dev_data, epoch)
+                    )
+                    for batch in batches:
                         self.state, loss = self.train_step(self.state, rng, *batch)
                         losses.append(loss)
                     train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else np.nan
@@ -403,6 +450,8 @@ class Trainer:
                     print(f"[trainer] stop requested at epoch {epoch}")
                 break
             epoch += 1
+        if self.ckpt is not None:
+            self.ckpt.flush()  # join queued async checkpoint writes
         return self.state
 
     def _maybe_cache_train_data(self):
@@ -444,20 +493,46 @@ class Trainer:
         sequential training shuffle bit-identically. None when the split has
         no full batch (the per-step fallback handles that)."""
         bs = self.datamodule.batch_size
+        A = self.accumulate_grad_batches
         n = dev_data[0].shape[0]
-        n_use = n - (n % bs)
+        n_use, k = self._usable_batches(n, bs, A)
         if n_use == 0:
             return None
-        k = n_use // bs
+        row_shape = (k // A, A, bs) if A > 1 else (k, bs)
         perms = np.stack(
             [
-                np.random.default_rng(self.seed + e).permutation(n)[:n_use].reshape(k, bs)
+                np.random.default_rng(self.seed + e)
+                .permutation(n)[:n_use]
+                .reshape(row_shape)
                 for e in range(epoch, epoch + group)
             ]
         )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from particle_fm_tpu.parallel.mesh import perm_sharding
 
-        return jax.device_put(jnp.asarray(perms), perm_sharding(self.mesh))
+        sh = (
+            NamedSharding(self.mesh, P(None, None, None, "data"))
+            if A > 1
+            else perm_sharding(self.mesh)
+        )
+        return jax.device_put(jnp.asarray(perms), sh)
+
+    def _usable_batches(self, n: int, bs: int, accum: int) -> tuple[int, int]:
+        """(n_use, k): samples/microbatches per epoch after dropping the
+        ragged tail — and, with accumulation, microbatches beyond the last
+        full optimizer-step group. Raises when the split can't fill one
+        group (silent zero-step epochs would train nothing)."""
+        n_use = n - (n % bs)
+        k = n_use // bs
+        if accum > 1:
+            k -= k % accum
+            if k == 0 and n_use > 0:
+                raise ValueError(
+                    f"accumulate_grad_batches={accum} needs at least {accum} "
+                    f"full batches per epoch; train split has {n_use // bs}"
+                )
+        return k * bs, k
 
     def _stack_epoch(self, dev_data, epoch: int):
         """The epoch's shuffled batches as stacked (K, B, ...) device arrays
@@ -466,21 +541,28 @@ class Trainer:
         otherwise the `n % batch_size` remainder is dropped, exactly like the
         per-step device path."""
         bs = self.datamodule.batch_size
+        A = self.accumulate_grad_batches
         x, mask, cond = dev_data
         n = x.shape[0]
-        n_use = n - (n % bs)
+        n_use, k = self._usable_batches(n, bs, A)
         if n_use == 0:
             return None
-        k = n_use // bs
         perm_dev = self._epoch_perm(n, n_use, epoch)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from particle_fm_tpu.parallel.mesh import stacked_sharding
 
-        stacked_sh = stacked_sharding(self.mesh)
+        stacked_sh = (
+            NamedSharding(self.mesh, P(None, None, "data"))
+            if A > 1
+            else stacked_sharding(self.mesh)
+        )
+        row_shape = (k // A, A, bs) if A > 1 else (k, bs)
 
         def stack(a):
             if a is None:
                 return None
-            g = jnp.take(a, perm_dev, axis=0).reshape((k, bs) + a.shape[1:])
+            g = jnp.take(a, perm_dev, axis=0).reshape(row_shape + a.shape[1:])
             return jax.device_put(g, stacked_sh)
 
         return stack(x), stack(mask), stack(cond)
@@ -491,8 +573,15 @@ class Trainer:
         crosses host->device."""
         bs = self.datamodule.batch_size
         if dev_data is None:
-            for batch in self.datamodule.train_batches(seed=self.seed + epoch):
-                yield self._shard(batch)
+            # streaming path (split larger than the device cache): overlap
+            # host batch prep + H2D with device compute via a worker thread
+            from particle_fm_tpu.data.prefetch import prefetch_to_device
+
+            yield from prefetch_to_device(
+                self.datamodule.train_batches(seed=self.seed + epoch),
+                self._shard,
+                depth=self.prefetch_batches,
+            )
             return
         x, mask, cond = dev_data
         n = x.shape[0]
@@ -518,6 +607,64 @@ class Trainer:
             # (device-to-device, no host round-trip) so jit's in_shardings match
             yield tuple(
                 jax.device_put(a[sl], s) if a is not None else None
+                for a, s in ((xs, sh_seq), (ms, sh_seq), (cs, sh))
+            )
+
+    def _epoch_accum_batches(self, dev_data, epoch: int):
+        """Stacked (A, B, ...) microbatch groups for one epoch when
+        accumulate_grad_batches=A > 1 (per-step path): each yielded group is
+        one accumulated optimizer step. Trailing microbatches that don't fill
+        a group are dropped (see _usable_batches)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        A = self.accumulate_grad_batches
+        bs = self.datamodule.batch_size
+        sh = NamedSharding(self.mesh, P(None, "data"))
+        sh_seq = (
+            NamedSharding(self.mesh, P(None, "data", "model"))
+            if self.strategy == "sp"
+            else sh
+        )
+
+        if dev_data is None:
+            # host batching: buffer A raw batches, stack on host, one
+            # placement per group — prefetched like the unaccumulated path
+            from particle_fm_tpu.data.prefetch import prefetch_to_device
+
+            def groups():
+                buf = []
+                for batch in self.datamodule.train_batches(seed=self.seed + epoch):
+                    buf.append(batch)
+                    if len(buf) == A:
+                        yield buf
+                        buf = []
+
+            def place(buf):
+                return tuple(
+                    jax.device_put(np.stack([np.asarray(b[j]) for b in buf]), s)
+                    if buf[0][j] is not None
+                    else None
+                    for j, s in ((0, sh_seq), (1, sh_seq), (2, sh))
+                )
+
+            yield from prefetch_to_device(groups(), place, depth=self.prefetch_batches)
+            return
+
+        x, mask, cond = dev_data
+        n = x.shape[0]
+        n_use, k = self._usable_batches(n, bs, A)
+        if n_use == 0:
+            return
+        perm_dev = self._epoch_perm(n, n_use, epoch)
+        xs = jnp.take(x, perm_dev, axis=0)
+        ms = jnp.take(mask, perm_dev, axis=0) if mask is not None else None
+        cs = jnp.take(cond, perm_dev, axis=0) if cond is not None else None
+        for i in range(k // A):
+            sl = slice(i * A * bs, (i + 1) * A * bs)
+            yield tuple(
+                jax.device_put(a[sl].reshape((A, bs) + a.shape[1:]), s)
+                if a is not None
+                else None
                 for a, s in ((xs, sh_seq), (ms, sh_seq), (cs, sh))
             )
 

@@ -103,6 +103,7 @@ def main(argv: list[str] | None = None) -> str:
         cfg.get("trainer", {}).get("ckpt_monitors", {"val_loss": "min"}),
     )
     path = cm.save_last(state)
+    cm.flush()  # async save: join the write before reporting the path
     print(f"[import] wrote run dir {out_dir} (checkpoint: {path})")
     print(f"[import] evaluate with: python scripts/eval_ckpt.py --run_dir {out_dir} --ckpt last")
     return out_dir

@@ -106,6 +106,7 @@ def test_checkpoint_topk_retention(tmp_path):
     cm = CheckpointManager(str(tmp_path / "ck"), {"m": "min"}, top_k=2)
     for step, val in [(1, 5.0), (2, 3.0), (3, 4.0), (4, 1.0), (5, 9.0)]:
         cm.save_metric(S(w=jnp.ones(3) * step), "m", val, step)
+    cm.flush()  # async saves: join the worker before inspecting the dir
     mdir = tmp_path / "ck" / "m"
     names = sorted(os.listdir(mdir))
     # top-2 by min metric: 1.0 (step 4) and 3.0 (step 2)
@@ -115,6 +116,45 @@ def test_checkpoint_topk_retention(tmp_path):
     best = cm.best_path("m")
     restored = cm.restore(best, S(w=jnp.zeros(3)))
     np.testing.assert_array_equal(np.asarray(restored.w), 4.0)
+
+
+def test_async_checkpoint_snapshot_survives_donation(tmp_path):
+    """Async saves snapshot with an on-device copy BEFORE returning, so a
+    later jitted call that donates the state's buffers cannot corrupt the
+    queued write — the core safety property of async_save."""
+    import jax.numpy as jnp
+    from flax import struct
+
+    class S(struct.PyTreeNode):
+        w: jnp.ndarray
+
+    cm = CheckpointManager(str(tmp_path / "ck"), {"m": "min"}, top_k=1)
+    assert cm.async_save
+    w = jnp.arange(8.0)
+    cm.save_last(S(w=w))
+    donate = jax.jit(lambda a: a * 0 + 7.0, donate_argnums=(0,))
+    donate(w)  # donates w's buffer (the train step does this every step)
+    restored = cm.restore(cm.last_path(), S(w=jnp.zeros(8)))
+    np.testing.assert_array_equal(np.asarray(restored.w), np.arange(8.0))
+
+
+def test_async_checkpoint_topk_accounts_for_queued_saves(tmp_path):
+    """Back-to-back save_metric calls (no flush between) must still keep
+    exactly top-k: admission/pruning uses the in-memory mirror, not the
+    (possibly lagging) directory listing."""
+    import jax.numpy as jnp
+    from flax import struct
+
+    class S(struct.PyTreeNode):
+        w: jnp.ndarray
+
+    cm = CheckpointManager(str(tmp_path / "ck"), {"m": "min"}, top_k=1)
+    assert cm.save_metric(S(w=jnp.ones(2)), "m", 5.0, 1) is not None
+    assert cm.save_metric(S(w=jnp.ones(2)), "m", 2.0, 2) is not None
+    assert cm.save_metric(S(w=jnp.ones(2)), "m", 3.0, 3) is None  # not top-1
+    cm.flush()
+    names = os.listdir(tmp_path / "ck" / "m")
+    assert len(names) == 1 and "metric_2.0" in names[0]
 
 
 def test_logging_schedules():
