@@ -145,9 +145,14 @@ def distill_consistency(
     target0 = jax.tree_util.tree_map(jnp.array, params0)
     opt_state0 = opt.init(params0)
 
-    xj = jnp.asarray(x)
-    mj = jnp.asarray(mask) if mask is not None else None
-    cj = jnp.asarray(cond) if cond is not None else None
+    # Data tensors ride as explicit jit ARGUMENTS, not closure constants:
+    # closed-over device arrays are embedded into the lowered module as MLIR
+    # constants, which forces a full device->host materialization of the
+    # training set at trace time (observed to wedge the tunneled single-chip
+    # relay on large transfers). As arguments they stay device-resident.
+    xj = jax.device_put(jnp.asarray(x))
+    mj = jax.device_put(jnp.asarray(mask)) if mask is not None else None
+    cj = jax.device_put(jnp.asarray(cond)) if cond is not None else None
 
     def loss_fn(params, target, rng, xb, mb, cb):
         rng_seg, rng_z = jax.random.split(rng)
@@ -176,7 +181,7 @@ def distill_consistency(
         return jnp.sum(ph * m) / jnp.sum(m)
 
     @jax.jit
-    def step(params, target, opt_state, rng, idx):
+    def step(params, target, opt_state, rng, idx, xj, mj, cj):
         xb = xj[idx]
         mb = mj[idx] if mj is not None else None
         cb = cj[idx] if cj is not None else None
@@ -196,13 +201,118 @@ def distill_consistency(
     for s in range(steps):
         key, sub = jax.random.split(key)
         idx = jnp.asarray(rng_np.integers(0, n, batch_size))
-        params, target, opt_state, loss = step(params, target, opt_state, sub, idx)
+        params, target, opt_state, loss = step(
+            params, target, opt_state, sub, idx, xj, mj, cj
+        )
         losses[s] = float(loss)
         if verbose and (s % max(steps // 20, 1) == 0 or s == steps - 1):
             print(f"[consistency] step {s}/{steps} loss {losses[s]:.5f}")
     student = {"params": jax.device_get(params), **extra}
     tgt = {"params": jax.device_get(target), **extra}
     return DistillResult(variables=student, target_variables=tgt, losses=losses)
+
+
+def distill_direct(
+    model,
+    teacher_variables: dict,
+    x: np.ndarray,
+    mask: np.ndarray | None = None,
+    cond: np.ndarray | None = None,
+    *,
+    steps: int = 4000,
+    batch_size: int = 256,
+    lr: float = 1e-4,
+    warmup: int = 200,
+    solver_steps: int = 8,
+    t_min: float = 0.002,
+    huber_c: float = 0.15,
+    seed: int = 0,
+    verbose: bool = False,
+    init_variables: dict | None = None,
+) -> DistillResult:
+    """Direct trajectory distillation: regress g(y_t, t) onto the teacher's
+    FULL probability-flow solve y_t -> t=0 (midpoint, `solver_steps` steps),
+    with t ~ U(t_min, 1) per sample.
+
+    Unlike consistency distillation there is no bootstrap chain and no target
+    network — the target is a deterministic function of (x, z, t), so the
+    regression is well-posed and stable at small step budgets. Costs
+    2*solver_steps teacher NFE per example instead of CD's 2, but the teacher
+    forward is the cheap folded-weight inference path. This is the online
+    analogue of ReFlow's pair distillation (training/reflow.py) that never
+    materializes a pair set and learns the map at EVERY t (so the re-noise
+    multistep sampler in consistency_sample applies unchanged).
+    """
+    _check_supported(model)
+    module = model.module
+    t_module, t_vars = model.fold_weight_norm(teacher_variables)
+    extra = {k: v for k, v in teacher_variables.items() if k != "params"}
+
+    sched = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, max(steps, warmup + 1))
+    opt = optax.adam(sched)
+    start = init_variables if init_variables is not None else teacher_variables
+    params0 = jax.tree_util.tree_map(jnp.asarray, start["params"])
+    opt_state0 = opt.init(params0)
+
+    # explicit jit args, not closure constants — see distill_consistency
+    xj = jax.device_put(jnp.asarray(x))
+    mj = jax.device_put(jnp.asarray(mask)) if mask is not None else None
+    cj = jax.device_put(jnp.asarray(cond)) if cond is not None else None
+
+    def teacher_solve(t, y, cb, mb):
+        """Midpoint solve of dy/ds = F(s, y) from s=t down to s=0 in
+        `solver_steps` equal per-sample steps (t is per-sample)."""
+        dt = -(t / solver_steps)[:, None, None]
+
+        def body(i, y):
+            tau = t * (1.0 - i.astype(t.dtype) / solver_steps)
+            k1 = t_module.apply(t_vars, tau, y, cond=cb, mask=mb)
+            y_mid = y + 0.5 * dt * k1
+            t_mid = tau + 0.5 * dt[:, 0, 0]
+            k2 = t_module.apply(t_vars, t_mid, y_mid, cond=cb, mask=mb)
+            y = y + dt * k2
+            return y * mb if mb is not None else y
+
+        return jax.lax.fori_loop(0, solver_steps, body, y)
+
+    def loss_fn(params, rng, xb, mb, cb):
+        rng_t, rng_z = jax.random.split(rng)
+        t = jax.random.uniform(rng_t, (xb.shape[0],), xb.dtype, t_min, 1.0)
+        z = jax.random.normal(rng_z, xb.shape, xb.dtype)
+        y_t = (1.0 - t[:, None, None]) * xb + t[:, None, None] * z
+        if mb is not None:
+            y_t = y_t * mb
+        target = jax.lax.stop_gradient(teacher_solve(t, y_t, cb, mb))
+        g = _g(module, {"params": params, **extra}, t, y_t, cb, mb)
+        d = g - target
+        ph = jnp.sqrt(jnp.square(d) + huber_c**2) - huber_c
+        m = mb if mb is not None else jnp.ones_like(xb[..., :1])
+        return jnp.sum(ph * m) / jnp.sum(m)
+
+    @jax.jit
+    def step(params, opt_state, rng, idx, xj, mj, cj):
+        xb = xj[idx]
+        mb = mj[idx] if mj is not None else None
+        cb = cj[idx] if cj is not None else None
+        loss, grads = jax.value_and_grad(loss_fn)(params, rng, xb, mb, cb)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    params, opt_state = params0, opt_state0
+    rng_np = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    losses = np.zeros(steps, np.float32)
+    n = len(x)
+    for s in range(steps):
+        key, sub = jax.random.split(key)
+        idx = jnp.asarray(rng_np.integers(0, n, batch_size))
+        params, opt_state, loss = step(params, opt_state, sub, idx, xj, mj, cj)
+        losses[s] = float(loss)
+        if verbose and (s % max(steps // 20, 1) == 0 or s == steps - 1):
+            print(f"[consistency] step {s}/{steps} loss {losses[s]:.5f}")
+    student = {"params": jax.device_get(params), **extra}
+    return DistillResult(variables=student, target_variables=student, losses=losses)
 
 
 def consistency_sample(
@@ -230,7 +340,7 @@ def consistency_sample(
     module, vars_f = model.fold_weight_norm(variables)
 
     @jax.jit
-    def run(key):
+    def run(key, cond, mask):
         kz, kr = jax.random.split(key)
         z = jax.random.normal(kz, (n_samples, num_points, model.features))
         if mask is not None:
@@ -247,4 +357,4 @@ def consistency_sample(
             x = _g(module, vars_f, tm, y, cond, mask)
         return x
 
-    return run(rng)
+    return run(rng, cond, mask)

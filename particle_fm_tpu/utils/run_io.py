@@ -32,16 +32,23 @@ def load_run(run_dir: str, ckpt: str = "best", ema: bool = True):
         weight_decay=opt_cfg.get("weight_decay", 5e-5),
         grad_clip=cfg.get("trainer", {}).get("grad_clip", 0.5),
     )
-    state = create_train_state(model, jax.random.PRNGKey(0), optimizer)
-    cm = CheckpointManager(
-        os.path.join(run_dir, "checkpoints"),
-        cfg.get("trainer", {}).get("ckpt_monitors", {"val_loss": "min"}),
-    )
-    path = cm.last_path() if ckpt == "last" else (
-        cm.best_path(next(iter(cm.monitors))) or cm.last_path()
-    )
-    if path is None:
-        raise FileNotFoundError(f"no checkpoint found under {run_dir}/checkpoints")
-    state = cm.restore(path, state)
-    variables = jax.device_get(state.variables(ema=ema))
+    # Build + restore the state on the host CPU backend: restoring onto the
+    # accelerator only to device_get it back is a wasted round-trip, and on
+    # the tunneled single-chip setup the large D2H pull can wedge the relay
+    # stream (observed hang inside jax.device_get of the restored params).
+    # Callers move the variables to the accelerator lazily when they jit.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        state = create_train_state(model, jax.random.PRNGKey(0), optimizer)
+        cm = CheckpointManager(
+            os.path.join(run_dir, "checkpoints"),
+            cfg.get("trainer", {}).get("ckpt_monitors", {"val_loss": "min"}),
+        )
+        path = cm.last_path() if ckpt == "last" else (
+            cm.best_path(next(iter(cm.monitors))) or cm.last_path()
+        )
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint found under {run_dir}/checkpoints")
+        state = cm.restore(path, state)
+        variables = jax.device_get(state.variables(ema=ema))
     return cfg, dm, model, variables

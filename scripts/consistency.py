@@ -31,6 +31,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--run_dir", required=True, help="teacher run directory")
     ap.add_argument("--ckpt", default="best", choices=["best", "last"])
+    ap.add_argument("--mode", default="cd", choices=["cd", "direct"],
+                    help="cd: standard consistency distillation (bootstrap "
+                         "targets); direct: regress onto full teacher ODE "
+                         "solves (stable at small budgets, costs "
+                         "2*solver_steps teacher NFE per example)")
+    ap.add_argument("--solver_steps", type=int, default=8,
+                    help="teacher midpoint steps per target (direct mode)")
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--lr", type=float, default=1e-4)
@@ -59,6 +66,7 @@ def main():
     from particle_fm_tpu.training.consistency import (
         consistency_sample,
         distill_consistency,
+        distill_direct,
     )
     from particle_fm_tpu.utils.run_io import load_run
 
@@ -92,14 +100,24 @@ def main():
         else [(args.n_grid, args.steps)]
     )
     res, init_v = None, None
-    for n_grid, steps in stages:
-        print(f"[consistency] stage: n_grid={n_grid} steps={steps}")
-        res = distill_consistency(
+    if args.mode == "direct":
+        print(f"[consistency] mode=direct solver_steps={args.solver_steps} "
+              f"steps={args.steps}")
+        common.pop("target_ema")
+        res = distill_direct(
             teacher, tvars, dm.tensor_train,
-            steps=steps, warmup=min(args.warmup, steps // 2),
-            n_grid=n_grid, init_variables=init_v, **common,
+            steps=args.steps, warmup=min(args.warmup, args.steps // 2),
+            solver_steps=args.solver_steps, **common,
         )
-        init_v = res.variables
+    else:
+        for n_grid, steps in stages:
+            print(f"[consistency] stage: n_grid={n_grid} steps={steps}")
+            res = distill_consistency(
+                teacher, tvars, dm.tensor_train,
+                steps=steps, warmup=min(args.warmup, steps // 2),
+                n_grid=n_grid, init_variables=init_v, **common,
+            )
+            init_v = res.variables
     print(f"[consistency] distilled {args.steps} steps in {time.time() - t0:.1f}s "
           f"(final loss {res.losses[-1]:.5f})")
     np.savez(os.path.join(out_dir, "student.npz"),

@@ -10,6 +10,7 @@ from particle_fm_tpu.models.flow_matching import FlowMatchingModel
 from particle_fm_tpu.training.consistency import (
     consistency_sample,
     distill_consistency,
+    distill_direct,
     time_grid,
 )
 
@@ -86,6 +87,32 @@ def test_distill_runs_and_moves_params():
     # distilled student still samples (multistep) with padded rows zeroed
     g = consistency_sample(
         model, res.variables, jax.random.PRNGKey(5),
+        cond=jnp.asarray(cond[:4]), mask=jnp.asarray(mask[:4]), steps=2,
+    )
+    assert g.shape == (4, 6, 3) and np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)[:, 5:]).max() == 0.0
+
+
+def test_distill_direct_runs():
+    """Direct trajectory distillation: finite losses, params move, the
+    student samples masked/finite through the same multistep sampler."""
+    model, variables = _tiny()
+    x = np.random.default_rng(1).normal(size=(64, 6, 3)).astype(np.float32)
+    mask = np.ones((64, 6, 1), np.float32)
+    mask[:, 5:] = 0.0
+    cond = np.zeros((64, 2), np.float32)
+    res = distill_direct(
+        model, variables, x, mask=mask, cond=cond,
+        steps=6, batch_size=8, lr=1e-3, warmup=2, solver_steps=3,
+    )
+    assert np.isfinite(res.losses).all()
+    before = jax.tree_util.tree_leaves(variables["params"])
+    after = jax.tree_util.tree_leaves(res.variables["params"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
+    )
+    g = consistency_sample(
+        model, res.variables, jax.random.PRNGKey(7),
         cond=jnp.asarray(cond[:4]), mask=jnp.asarray(mask[:4]), steps=2,
     )
     assert g.shape == (4, 6, 3) and np.isfinite(np.asarray(g)).all()
