@@ -9,7 +9,9 @@ constants shrunk (same statements, smaller numbers) so it finishes on the
 CPU mesh.
 
 Run with: pytest -m slow tests/test_examples_notebooks.py
-(the default suite includes them too; they cost ~2-4 min total)
+(the default suite includes them too; they cost ~3-10 min total depending on
+host load — the 1200 s subprocess timeouts are deliberately loose because a
+busy single-core host runs these at a fraction of normal speed)
 """
 
 import os
@@ -35,7 +37,7 @@ def test_eight_moons_example_runs(tmp_path):
     res = subprocess.run(
         [sys.executable, str(REPO / "examples" / "eight_moons.py"),
          "--steps", "60", "--batch", "64", "--out", str(out)],
-        env=ENV, capture_output=True, text=True, timeout=600, cwd=str(REPO),
+        env=ENV, capture_output=True, text=True, timeout=1200, cwd=str(REPO),
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert out.exists() and out.stat().st_size > 0
@@ -48,7 +50,7 @@ def test_eight_moons_self_conditioning_runs(tmp_path):
     res = subprocess.run(
         [sys.executable, str(REPO / "examples" / "eight_moons.py"),
          "--steps", "40", "--batch", "64", "--self-conditioning", "--out", str(out)],
-        env=ENV, capture_output=True, text=True, timeout=600, cwd=str(REPO),
+        env=ENV, capture_output=True, text=True, timeout=1200, cwd=str(REPO),
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert out.exists()
@@ -85,7 +87,7 @@ def test_notebook_01_executes(tmp_path):
         for old, new in _SHRINK:
             cell.source = cell.source.replace(old, new)
     client = NotebookClient(
-        nb, timeout=600, kernel_name="python3",
+        nb, timeout=1200, kernel_name="python3",
         # run from the repo root like a user would (the notebook imports the
         # package from the working tree; artifacts go to tempfile.mkdtemp)
         resources={"metadata": {"path": str(REPO)}},
