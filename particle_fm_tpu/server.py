@@ -3,11 +3,12 @@
 Beyond the reference (which has no deployment layer at all — its only way to
 sample a trained model is re-assembling the Lightning module, checkpoint and
 config in a Python session): this module serves a `serving.export_sampler`
-artifact over plain HTTP with zero dependencies beyond the standard library.
-The artifact is a self-contained StableHLO program (weights baked in), so the
-server process needs no model code, no config tree and no checkpoint — point
-it at an `exported/` directory and it answers sampling requests on any JAX
-backend (the TPU chip in production, CPU in CI).
+artifact over plain HTTP. The HTTP/JSON layer itself is stdlib-only
+(`http.server` + `json`); executing the artifact requires jax/numpy/yaml —
+but no model code, no config tree and no checkpoint. The artifact is a
+self-contained StableHLO program (weights baked in), so pointing the server
+at an `exported/` directory answers sampling requests on any JAX backend
+(the TPU chip in production, CPU in CI).
 
 Design notes for the TPU serving path:
   * The exported program has a FIXED batch size (XLA static shapes). Requests
@@ -25,8 +26,12 @@ API (JSON over HTTP):
   GET  /meta     -> the artifact's meta.yaml (shapes, solver, NFE, units)
   POST /sample   -> body:
       {
-        "n_samples":  int (required),
-        "seed":       int (default 0),
+        "n_samples":  int (required; capped by --max-n-samples, default 65536),
+        "seed":       int >= 0 (default 0). Seed semantics: each chunk of a
+                      request draws from an RNG stream keyed by hashing
+                      (seed, chunk_index), so different seeds give
+                      statistically independent streams even across requests
+                      whose chunking overlaps,
         "cond":       [[...], ...]          (n_samples, cond_dim)  if the
                                             artifact is conditional,
         "mask":       [[...], ...]          (n_samples, num_points) or
@@ -63,7 +68,21 @@ class RequestError(ValueError):
 class SamplerService:
     """Validated sampling over a loaded artifact; thread-safe."""
 
-    def __init__(self, artifact_path: str, warmup: bool = True):
+    #: request-size guards (overridable per instance / via make_server):
+    #: one POST must not hold the device lock for unbounded time or build an
+    #: unbounded Python list for json.dumps.
+    DEFAULT_MAX_N_SAMPLES = 65536
+    DEFAULT_MAX_CONTENT_LENGTH = 64 * 1024 * 1024  # 64 MiB of request JSON
+
+    def __init__(
+        self,
+        artifact_path: str,
+        warmup: bool = True,
+        max_n_samples: int = DEFAULT_MAX_N_SAMPLES,
+        max_content_length: int = DEFAULT_MAX_CONTENT_LENGTH,
+    ):
+        self.max_n_samples = int(max_n_samples)
+        self.max_content_length = int(max_content_length)
         self.fn, self.meta = serving.load_exported(artifact_path)
         if not self.meta:
             raise ValueError(
@@ -98,6 +117,11 @@ class SamplerService:
 
     def _build_mask(self, req: dict, n: int) -> Optional[np.ndarray]:
         if not self.meta.get("use_mask", False):
+            if "mask" in req or "num_points" in req:
+                raise RequestError(
+                    "artifact was exported without mask support "
+                    "(use_mask=false): 'mask'/'num_points' cannot be applied"
+                )
             return None
         npts = int(self.meta["num_points"])
         if "mask" in req:
@@ -145,7 +169,22 @@ class SamplerService:
             raise RequestError("'n_samples' must be an integer")
         if n < 1:
             raise RequestError("'n_samples' must be >= 1")
-        seed = int(req.get("seed", 0))
+        if n > self.max_n_samples:
+            raise RequestError(
+                f"'n_samples' {n} exceeds the server cap {self.max_n_samples} "
+                "(split the request into smaller calls, or raise "
+                "--max-n-samples on the server)"
+            )
+        try:
+            seed = int(req.get("seed", 0))
+        except (TypeError, ValueError):
+            raise RequestError("'seed' must be an integer")
+        if seed < 0:
+            raise RequestError("'seed' must be >= 0")
+        # serve_batches hashes (seed, chunk) into uint32 chunk seeds; fold
+        # arbitrarily large client seeds into the 64-bit hash-input range here
+        # so they can't overflow downstream dtype conversions.
+        seed %= 2**64
         cond = self._build_cond(req, n)
         mask = self._build_mask(req, n)
         x = self.sample(n, seed=seed, cond=cond, mask=mask)
@@ -177,6 +216,12 @@ def make_handler(service: SamplerService, quiet: bool = True):
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > service.max_content_length:
+                    self._send(413, {
+                        "error": f"request body {length} bytes exceeds the "
+                                 f"server cap {service.max_content_length}"
+                    })
+                    return
                 try:
                     req = json.loads(self.rfile.read(length) or b"{}")
                 except json.JSONDecodeError as e:
@@ -200,11 +245,18 @@ def make_server(
     port: int = 0,
     warmup: bool = True,
     quiet: bool = True,
+    max_n_samples: int = SamplerService.DEFAULT_MAX_N_SAMPLES,
+    max_content_length: int = SamplerService.DEFAULT_MAX_CONTENT_LENGTH,
 ) -> ThreadingHTTPServer:
     """Load the artifact and bind the server (port 0 = ephemeral). The caller
     runs `server.serve_forever()` (scripts/serve_model.py) or drives it from
     a thread (tests)."""
-    service = SamplerService(artifact_path, warmup=warmup)
+    service = SamplerService(
+        artifact_path,
+        warmup=warmup,
+        max_n_samples=max_n_samples,
+        max_content_length=max_content_length,
+    )
     server = ThreadingHTTPServer((host, port), make_handler(service, quiet=quiet))
     server.service = service  # introspection for callers/tests
     return server

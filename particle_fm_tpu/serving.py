@@ -218,7 +218,14 @@ def serve_batches(
                 return sl
             return np.concatenate([sl] + [sl[:1]] * (bs - n_real), axis=0)
 
-        args = [np.uint32(seed + i)]
+        # Per-chunk seeds are derived by hashing (seed, chunk index) rather
+        # than `seed + i`: with a raw additive stride, request seed=s chunk 1
+        # would collide with seed=s+1 chunk 0 (identical RNG stream for equal
+        # cond), weakening seed independence across adjacent API calls.
+        chunk_seed = np.random.SeedSequence(
+            [int(seed) % (2**64), i]
+        ).generate_state(1)[0]
+        args = [np.uint32(chunk_seed)]
         if meta.get("cond_dim", 0):
             args.append(pad(cond).astype(np.float32))
         if meta.get("use_mask", False):

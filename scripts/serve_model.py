@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--no-warmup", action="store_true")
     ap.add_argument("--verbose", action="store_true", help="log each request")
+    ap.add_argument("--max-n-samples", type=int, default=65536,
+                    help="reject /sample requests above this n_samples (400)")
+    ap.add_argument("--max-content-length", type=int, default=64 * 1024 * 1024,
+                    help="reject request bodies larger than this (413)")
     args = ap.parse_args()
 
     # Pin JAX to a backend the artifact was actually lowered for BEFORE the
@@ -61,6 +65,8 @@ def main():
         port=args.port,
         warmup=not args.no_warmup,
         quiet=not args.verbose,
+        max_n_samples=args.max_n_samples,
+        max_content_length=args.max_content_length,
     )
     meta = server.service.meta
     host, port = server.server_address[:2]

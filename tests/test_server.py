@@ -124,6 +124,11 @@ def test_sample_explicit_mask_2d(url):
           "num_points": [9, 2]}, "[0, 8]"),                        # mult > num_points
         ({"n_samples": 2, "cond": [[0.0, 0.0]] * 2,
           "mask": [[1] * 5] * 2}, "mask shape"),
+        ({"n_samples": 100000}, "cap"),                            # > max_n_samples
+        ({"n_samples": 2, "cond": [[0.0, 0.0]] * 2,
+          "seed": "abc"}, "'seed'"),                               # non-integer seed
+        ({"n_samples": 2, "cond": [[0.0, 0.0]] * 2,
+          "seed": -1}, "'seed'"),                                  # negative seed
     ],
 )
 def test_sample_bad_requests_400(url, body, frag):
@@ -138,3 +143,52 @@ def test_unknown_route_404(url):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _request(f"{url}/nope")
     assert exc.value.code == 404
+
+
+def test_oversized_body_413_without_reading(url):
+    """A Content-Length above the server cap is rejected up front (413),
+    before the body is read — the guard cannot be bypassed by never sending
+    the advertised bytes."""
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(url)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=30)
+    try:
+        conn.putrequest("POST", "/sample")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", str(10**12))  # 1 TB claimed
+        conn.endheaders()
+        conn.send(b"{}")  # tiny actual payload; server must not block on read
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert "exceeds" in json.loads(resp.read())["error"]
+    finally:
+        conn.close()
+
+
+def test_mask_rejected_when_artifact_unmasked():
+    """use_mask=False artifacts must 400 on client mask/num_points instead of
+    silently ignoring them (the client would otherwise believe its mask was
+    applied)."""
+    from particle_fm_tpu.server import RequestError, SamplerService
+
+    svc = SamplerService.__new__(SamplerService)  # no artifact load needed
+    svc.meta = {"use_mask": False, "num_points": 8}
+    with pytest.raises(RequestError, match="without mask support"):
+        svc._build_mask({"mask": [[1] * 8]}, 1)
+    with pytest.raises(RequestError, match="without mask support"):
+        svc._build_mask({"num_points": [4]}, 1)
+    assert svc._build_mask({}, 1) is None
+
+
+def test_chunk_seed_independence(url):
+    """serve_batches keys each chunk by hashing (seed, chunk): with equal
+    cond, request seed=s+1 chunk 0 must NOT reproduce seed=s chunk 1 (the
+    failure mode of a naive `seed + chunk` stride)."""
+    cond = [[0.25, -0.5]] * 6  # identical rows so only the RNG stream differs
+    _, a = _request(f"{url}/sample", {"n_samples": 6, "seed": 3, "cond": cond})
+    _, b = _request(f"{url}/sample", {"n_samples": 6, "seed": 4, "cond": cond})
+    xa = np.asarray(a["samples"], np.float32)  # chunks: [0:4], [4:6]
+    xb = np.asarray(b["samples"], np.float32)
+    assert np.abs(xb[:2] - xa[4:6]).max() > 1e-3
