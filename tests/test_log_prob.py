@@ -104,6 +104,79 @@ def test_log_prob_single_transform_flow_k_equivalence():
     np.testing.assert_allclose(np.asarray(full), np.asarray(single), atol=1e-6)
 
 
+def test_flat_log_prob_untrained_near_beats_far():
+    """Flat (no-sets) model: same augmented-ODE density API as the set model
+    (reference flow_matching_no_sets.py:95-112). At init, prior dominates."""
+    from particle_fm_tpu.models.flow_matching_flat import FlatFlowMatchingModel
+
+    model = FlatFlowMatchingModel(features=4, cond_dim=1)
+    variables = model.init(jax.random.PRNGKey(0))
+    cond = jnp.zeros((2, 1))
+    lp_near = model.log_prob(variables, jnp.zeros((2, 4)), cond=cond, ode_steps=25)
+    lp_far = model.log_prob(variables, jnp.full((2, 4), 6.0), cond=cond, ode_steps=25)
+    assert np.isfinite(np.asarray(lp_near)).all()
+    assert (np.asarray(lp_near) > np.asarray(lp_far)).all()
+
+
+def test_flat_log_prob_hutchinson_close_to_exact():
+    from particle_fm_tpu.models.flow_matching_flat import FlatFlowMatchingModel
+
+    model = FlatFlowMatchingModel(features=3, cond_dim=1)
+    variables = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3))
+    cond = jnp.zeros((4, 1))
+    lp_exact = np.asarray(model.log_prob(variables, x, cond=cond, ode_steps=20))
+    lps = [
+        np.asarray(
+            model.log_prob(variables, x, cond=cond, ode_steps=20, exact=False,
+                           rng=jax.random.PRNGKey(10 + i))
+        )
+        for i in range(8)
+    ]
+    np.testing.assert_allclose(np.mean(lps, axis=0), lp_exact, atol=0.35)
+
+
+def test_flat_multi_transform_log_prob_and_sample():
+    """n_transforms > 1 on the flat model: log_prob chains flows 0..n-1 in
+    encode order; sample integrates each flow's ODE separately in reversed
+    order (reference flow_matching_no_sets.py:146-152) — NOT one composite
+    field. The composite-field integration must therefore differ from
+    sample's output for a 2-flow stack."""
+    from particle_fm_tpu.models.flow_matching_flat import FlatFlowMatchingModel
+    from particle_fm_tpu.samplers.ode import odeint_fixed
+
+    model = FlatFlowMatchingModel(features=3, cond_dim=1, n_transforms=2)
+    variables = model.init(jax.random.PRNGKey(0))
+    cond = jnp.zeros((2, 1))
+    lp = model.log_prob(variables, jnp.zeros((2, 3)), cond=cond, ode_steps=15)
+    assert np.isfinite(np.asarray(lp)).all()
+
+    x = model.sample(variables, jax.random.PRNGKey(1), n_samples=2, cond=cond,
+                     ode_steps=15)
+    assert np.isfinite(np.asarray(x)).all() and x.shape == (2, 3)
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 3))  # != sample's z draw
+
+    def composite(t, y):
+        return model.module.apply(variables, t, y, cond, None)
+
+    x_composite = odeint_fixed(composite, z, 1.0, 0.0, ode_steps=15, method="midpoint")
+    assert np.isfinite(np.asarray(x_composite)).all()
+
+
+def test_flat_flow_k_matches_composite_single_transform():
+    from particle_fm_tpu.models.flow_matching_flat import FlatFlowMatchingModel
+
+    model = FlatFlowMatchingModel(features=3, cond_dim=1)
+    variables = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 3))
+    cond = jnp.zeros((3, 1))
+    t = jnp.full((3,), 0.3)
+    full = model.module.apply(variables, t, x, cond)
+    single = model.module.apply(variables, 0, t, x, cond, method="flow_k")
+    np.testing.assert_allclose(np.asarray(full), np.asarray(single), atol=1e-6)
+
+
 def test_log_prob_diffusion_uses_pf_ode_drift():
     """For loss_type=diffusion, log_prob must integrate the probability-flow
     drift -0.5*beta*(x - eps/sigma), not the raw noise prediction. With a

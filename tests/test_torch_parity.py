@@ -1158,3 +1158,307 @@ def test_cathode_classifier_parity(ref_mlp):
     params = graft(dict(template), transplant)
     out = m.apply({"params": params}, jnp.asarray(x))
     assert_close(out, out_ref, what="cathode_classifier")
+
+
+# ---------------------------------------------------------------------------
+# executed-reference FULL-CHAIN flow-ODE sampling + flat log_prob parity
+# ---------------------------------------------------------------------------
+#
+# flow_matching_module.py / flow_matching_no_sets.py import pytorch_lightning,
+# torchdyn and zuko — none installed here. The class definitions only need
+# pl.LightningModule (save_hyperparameters / hparams / device / log), and the
+# sampling + log_prob code paths call NeuralODE(...).trajectory(x, t_span) and
+# zuko.utils.odeint. Those two integrators are re-stated below as plain
+# fixed-step torch code over the SAME t-grid the reference requests
+# (torch.linspace(1, 0, ode_steps) -> ode_steps-1 uniform steps; torchdyn's
+# fixed-step euler/midpoint/rk4 tableaus) — every other executed line is
+# reference code verbatim. State is detached before each dynamics evaluation
+# (the solve is numeric; for log_prob this also keeps the reference's
+# x.requires_grad_() on a leaf tensor, as under zuko's integrator).
+#
+# This closes the last unexecuted composition link: z -> per-flow decode via
+# the solver dispatch (flow_matching_module.py:245-328) -> sample()'s z/mask/
+# reversed-flow conventions (:637-677), compared whole-chain against the
+# native model with transplanted weights and an identical z draw — covering
+# unconditional, conditional, n_transforms>1, rk4, the diffusion PF-ODE path,
+# and the flat (no-sets) module's sample + log_prob (:95-112, :211-238).
+
+import inspect  # noqa: E402
+
+
+class _FixedStepNeuralODE:
+    """torchdyn.core.NeuralODE stand-in: fixed-step trajectory over t_span."""
+
+    def __init__(self, f, solver="midpoint", **kw):
+        if solver not in ("euler", "midpoint", "rk4"):
+            raise NotImplementedError(f"stub NeuralODE: solver {solver}")
+        self.f, self.solver = f, solver
+
+    def trajectory(self, x, t_span):
+        f = self.f
+        xs = [x]
+        for k in range(len(t_span) - 1):
+            x = x.detach()
+            t0, dt = t_span[k], t_span[k + 1] - t_span[k]
+            if self.solver == "euler":
+                x = x + dt * f(t0, x)
+            elif self.solver == "midpoint":
+                x = x + dt * f(t0 + dt / 2, x + dt / 2 * f(t0, x))
+            else:  # rk4 (classic tableau, = torchdyn's fixed rk4)
+                k1 = f(t0, x)
+                k2 = f(t0 + dt / 2, x + dt / 2 * k1)
+                k3 = f(t0 + dt / 2, x + dt / 2 * k2)
+                k4 = f(t0 + dt, x + dt * k3)
+                x = x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+            xs.append(x)
+        return torch.stack([t.detach() for t in xs])
+
+
+def _zuko_odeint_fixed(f, x, t0, t1, phi=None):
+    """zuko.utils.odeint stand-in: explicit-midpoint over the same grid the
+    native side uses (`_STEPS` nodes, i.e. _STEPS-1 uniform steps). Handles
+    the reference's tuple-state augmented system (x, ladj)."""
+    steps = sys.modules["zuko.utils"]._STEPS
+    tuple_state = isinstance(x, tuple)
+    state = x if tuple_state else (x,)
+    n = steps - 1
+    dt = (t1 - t0) / n
+    for k in range(n):
+        state = tuple(s.detach() for s in state)
+        t = torch.as_tensor(t0 + k * dt, dtype=torch.float32)
+        d1 = f(t, *state)
+        d1 = d1 if tuple_state else (d1,)
+        mid = tuple(s.detach() + 0.5 * dt * d for s, d in zip(state, d1))
+        d2 = f(t + 0.5 * dt, *mid)
+        d2 = d2 if tuple_state else (d2,)
+        state = tuple(s + dt * d for s, d in zip(state, d2))
+    state = tuple(s.detach() for s in state)
+    return state if tuple_state else state[0]
+
+
+def _install_litmodule_stubs() -> None:
+    """Stub pytorch_lightning / torchdyn.core / zuko.utils so the reference
+    module files execute; see the section comment for what is re-stated."""
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+
+        class LightningModule(torch.nn.Module):
+            def save_hyperparameters(self, *a, logger=True, **k):
+                frame = inspect.currentframe().f_back
+                sig = inspect.signature(type(self).__init__)
+                hp = {
+                    n: frame.f_locals[n]
+                    for n in sig.parameters
+                    if n != "self" and n in frame.f_locals
+                }
+                object.__setattr__(self, "hparams", types.SimpleNamespace(**hp))
+
+            @property
+            def device(self):
+                return torch.device("cpu")
+
+            def log(self, *a, **k):
+                pass
+
+        pl.LightningModule = LightningModule
+        sys.modules["pytorch_lightning"] = pl
+    if "torchdyn" not in sys.modules:
+        td = types.ModuleType("torchdyn")
+        core = types.ModuleType("torchdyn.core")
+        core.NeuralODE = _FixedStepNeuralODE
+        td.core = core
+        sys.modules["torchdyn"] = td
+        sys.modules["torchdyn.core"] = core
+    if "zuko" not in sys.modules:
+        zk = types.ModuleType("zuko")
+        zutils = types.ModuleType("zuko.utils")
+        zutils.odeint = _zuko_odeint_fixed
+        zutils._STEPS = 50
+        zk.utils = zutils
+        sys.modules["zuko"] = zk
+        sys.modules["zuko.utils"] = zutils
+
+
+@pytest.fixture(scope="module")
+def ref_fm(ref):
+    _install_litmodule_stubs()
+    ns = types.SimpleNamespace()
+    ns.set_mod = importlib.import_module("particle_fm.models.flow_matching_module")
+    ns.flat_mod = importlib.import_module("particle_fm.models.flow_matching_no_sets")
+    return ns
+
+
+def _pinned_randn(monkeypatch, z_np):
+    """Make the next torch.randn(...) return exactly z_np (shape-checked)."""
+    real_randn = torch.randn
+
+    def fake_randn(*shape, **kw):
+        if shape and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        if tuple(shape) == tuple(z_np.shape):
+            return torch.from_numpy(np.ascontiguousarray(z_np))
+        return real_randn(*shape, **kw)
+
+    monkeypatch.setattr(torch, "randn", fake_randn)
+
+
+@pytest.mark.parametrize(
+    "case",
+    ["uncond_midpoint", "cond_midpoint", "uncond_rk4", "two_transforms",
+     "diffusion_pf_ode", "euler_masked"],
+)
+def test_full_chain_sampling_parity(ref_fm, case, monkeypatch):
+    """z -> model.sample(...) end to end: the executed reference
+    SetFlowMatchingLitModule.sample (reversed per-flow decode through the
+    solver dispatch, z*mask convention) vs the native FlowMatchingModel.sample
+    with transplanted weights and an identical z draw."""
+    import jax
+
+    from particle_fm_tpu.models.flow_matching import FlowMatchingModel
+    from particle_fm_tpu.utils.torch_import import variables_from_reference_state_dict
+
+    B, P, F = 4, 6, 3
+    solver, steps = "midpoint", 25
+    n_transforms, cond_dim, loss_type = 1, 0, "FM-OT"
+    diff_config = {"max_sr": 1.0, "min_sr": 1e-8}
+    masked = False
+    if case == "cond_midpoint":
+        cond_dim = 2
+    elif case == "uncond_rk4":
+        solver = "rk4"
+    elif case == "two_transforms":
+        n_transforms = 2
+    elif case == "diffusion_pf_ode":
+        loss_type = "diffusion"
+        diff_config = {"max_sr": 0.999, "min_sr": 0.02}
+    elif case == "euler_masked":
+        solver, masked = "euler", True
+
+    torch.manual_seed(11)
+    lit = ref_fm.set_mod.SetFlowMatchingLitModule(
+        optimizer=None, scheduler=None, model="epic", features=F,
+        hidden_dim=16, num_particles=P, frequencies=6, layers=2, latent=8,
+        n_transforms=n_transforms, global_cond_dim=cond_dim,
+        local_cond_dim=cond_dim, loss_type=loss_type, diff_config=diff_config,
+    ).eval()
+
+    model = FlowMatchingModel(
+        model="epic", features=F, num_particles=P, frequencies=6,
+        hidden_dim=16, layers=2, latent=8, n_transforms=n_transforms,
+        global_cond_dim=cond_dim, local_cond_dim=cond_dim,
+        loss_type=loss_type, diff_config=diff_config,
+    )
+    variables = variables_from_reference_state_dict(lit.state_dict(), model)
+
+    rng = jax.random.PRNGKey(5)
+    rng_z, _ = jax.random.split(rng)
+    z_np = np.asarray(jax.random.normal(rng_z, (B, P, F)), np.float32)
+
+    rs = np.random.RandomState(3)
+    cond_np = rs.randn(B, cond_dim).astype(np.float32) if cond_dim else None
+    mask_np = None
+    if masked:
+        n_valid = rs.randint(2, P + 1, size=B)
+        mask_np = (np.arange(P)[None, :] < n_valid[:, None]).astype(np.float32)[..., None]
+
+    _pinned_randn(monkeypatch, z_np)
+    with torch.no_grad():
+        out_ref = lit.sample(
+            B,
+            cond=None if cond_np is None else torch.from_numpy(cond_np),
+            mask=None if mask_np is None else torch.from_numpy(mask_np),
+            ode_solver=solver, ode_steps=steps,
+        )
+
+    out = model.sample(
+        variables, rng, n_samples=B,
+        cond=None if cond_np is None else jnp.asarray(cond_np),
+        mask=None if mask_np is None else jnp.asarray(mask_np),
+        ode_solver=solver, ode_steps=steps,
+    )
+    assert_close(out, out_ref, tol=2e-4, what=f"full-chain sample [{case}]")
+
+
+def test_flat_full_chain_sampling_parity(ref_fm, monkeypatch):
+    """Flat (no-sets) module: executed reference sample() — per-flow midpoint
+    decode in reversed flow order (flow_matching_no_sets.py:146-148, 211-238)
+    — vs the native FlatFlowMatchingModel.sample, identical z and weights."""
+    import jax
+
+    from particle_fm_tpu.models.flow_matching_flat import FlatFlowMatchingModel
+
+    B, F, steps = 5, 6, 21
+    torch.manual_seed(12)
+    lit = ref_fm.flat_mod.FLowMatchingNoSetsLitModule(
+        optimizer=None, scheduler=None, features=F, n_transforms=2,
+        activation="ELU", freqs=3,
+    ).eval()
+
+    model = FlatFlowMatchingModel(features=F, n_transforms=2, activation="elu",
+                                  freqs=3, cond_dim=1)
+    template = model.init(jax.random.PRNGKey(0))["params"]
+    donor = {
+        f"flow_{k}": {"net": {f"mlp{i}": _mlp_seq(getattr(lit.flows[k].net, f"mlp{i}"))
+                              for i in (1, 2, 3, 4)}}
+        for k in range(2)
+    }
+    params = graft(dict(template), donor)
+
+    rng = jax.random.PRNGKey(9)
+    z_np = np.asarray(jax.random.normal(rng, (B, F)), np.float32)
+    cond_np = np.random.RandomState(4).randn(B, 1).astype(np.float32)
+
+    _pinned_randn(monkeypatch, z_np)
+    with torch.no_grad():
+        out_ref = lit.sample(B, cond=torch.from_numpy(cond_np),
+                             ode_solver="midpoint", ode_steps=steps)
+
+    out = model.sample({"params": params}, rng, n_samples=B,
+                       cond=jnp.asarray(cond_np), ode_steps=steps)
+    assert_close(out, out_ref, tol=2e-4, what="flat full-chain sample")
+
+
+def test_flat_log_prob_executed_reference(ref_fm):
+    """Executed-reference golden for the flat CNF's augmented-ODE log_prob
+    (flow_matching_no_sets.py:95-112): the reference computes the exact trace
+    via batched autograd and applies the ladj*1e-2/1e2 rescaling trick; the
+    native FlatFlowMatchingModel.log_prob must agree on the same midpoint
+    grid with transplanted weights.
+
+    The reference method drops cond (its augmented field calls self(t, x)),
+    but its net requires a cond input — executing it needs a wrapper that
+    pins cond, exactly like the loss-parity adapter pins the time path. The
+    borrowed log_prob is the UNMODIFIED reference function."""
+    import jax
+
+    from particle_fm_tpu.models.flow_matching_flat import FlatFlowMatchingModel
+
+    B, F, steps = 4, 5, 41
+    torch.manual_seed(13)
+    ref_cnf = ref_fm.flat_mod.CNF(features=F, freqs=3, activation="ELU").eval()
+    cond_np = np.random.RandomState(6).randn(B, 1).astype(np.float32)
+
+    class _CondBound(torch.nn.Module):
+        def __init__(self, cnf, cond):
+            super().__init__()
+            self.cnf = cnf
+            self.cond = cond
+
+        def forward(self, t, x):
+            return self.cnf(t, x, cond=self.cond)
+
+    _CondBound.log_prob = ref_fm.flat_mod.CNF.log_prob  # unmodified reference fn
+    bound = _CondBound(ref_cnf, torch.from_numpy(cond_np))
+
+    x_np = np.random.RandomState(7).randn(B, F).astype(np.float32)
+    sys.modules["zuko.utils"]._STEPS = steps
+    lp_ref = bound.log_prob(torch.from_numpy(x_np))
+
+    model = FlatFlowMatchingModel(features=F, activation="elu", freqs=3, cond_dim=1)
+    template = model.init(jax.random.PRNGKey(0))["params"]
+    donor = {"flow_0": {"net": {f"mlp{i}": _mlp_seq(getattr(ref_cnf.net, f"mlp{i}"))
+                                for i in (1, 2, 3, 4)}}}
+    params = graft(dict(template), donor)
+    lp = model.log_prob({"params": params}, jnp.asarray(x_np),
+                        cond=jnp.asarray(cond_np), ode_steps=steps)
+    assert_close(lp, lp_ref, tol=2e-4, what="flat log_prob")
