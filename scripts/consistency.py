@@ -31,11 +31,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--run_dir", required=True, help="teacher run directory")
     ap.add_argument("--ckpt", default="best", choices=["best", "last"])
-    ap.add_argument("--mode", default="cd", choices=["cd", "direct"],
-                    help="cd: standard consistency distillation (bootstrap "
-                         "targets); direct: regress onto full teacher ODE "
-                         "solves (stable at small budgets, costs "
-                         "2*solver_steps teacher NFE per example)")
+    ap.add_argument("--mode", default="direct", choices=["cd", "direct"],
+                    help="direct (default): regress onto full teacher ODE "
+                         "solves — stable at small budgets, reaches teacher "
+                         "quality at NFE=1 (costs 2*solver_steps teacher NFE "
+                         "per example). cd: standard EMA-target consistency "
+                         "distillation (bootstrap targets) — MEASURED "
+                         "UNSTABLE on this workload at small distillation "
+                         "budgets (docs/RESULTS.md r3: W1M 0.19 -> 8.2 as "
+                         "steps grow); kept for experimentation only")
     ap.add_argument("--solver_steps", type=int, default=8,
                     help="teacher midpoint steps per target (direct mode)")
     ap.add_argument("--steps", type=int, default=4000)
@@ -110,6 +114,14 @@ def main():
             solver_steps=args.solver_steps, **common,
         )
     else:
+        print(
+            "[consistency] WARNING: mode=cd (standard EMA-target bootstrap) is "
+            "MEASURED UNSTABLE at small distillation budgets on this workload "
+            "— quality degrades with more steps (docs/RESULTS.md round-3 "
+            "consistency table: W1M 0.19 at 2k steps -> 8.2 at 8k). Use the "
+            "default --mode direct for production distillation.",
+            file=sys.stderr,
+        )
         for n_grid, steps in stages:
             print(f"[consistency] stage: n_grid={n_grid} steps={steps}")
             res = distill_consistency(
