@@ -8,9 +8,11 @@
 
 Parity: the reference runs Optuna through the hydra sweeper
 (configs/hparams_search/*.yaml, train.py:119-141 returns the monitored
-metric). This driver does random search over categorical and log-uniform
-spaces, runs each trial through the same train() entry point, and writes a
-ranked summary. --prune enables Optuna-style median pruning: a trial whose
+metric). This driver searches categorical and log-uniform spaces with either
+seeded random search or a native TPE sampler (--sampler tpe — the
+reference's Optuna TPESampler semantics, particle_fm_tpu/training/hparam.py),
+runs each trial through the same train() entry point, and writes a ranked
+summary. --prune enables Optuna-style median pruning: a trial whose
 monitored metric lags the median of completed trials at the same epoch is
 stopped early (particle_fm_tpu.training.stopping.MedianPruner).
 """
@@ -40,6 +42,13 @@ def main():
     ap.add_argument("--space-log", nargs="*", default=[], help="key=lo:hi log-uniform float")
     ap.add_argument("--overrides", nargs="*", default=[])
     ap.add_argument("--out", default="hparam_search_results.json")
+    ap.add_argument("--sampler", default="random", choices=["random", "tpe"],
+                    help="tpe: Tree-structured Parzen Estimator (the reference's "
+                         "Optuna TPESampler, configs/hparams_search/mnist_optuna.yaml, "
+                         "implemented natively in training/hparam.py); random: "
+                         "seeded random search")
+    ap.add_argument("--tpe-startup-trials", type=int, default=4,
+                    help="random trials before TPE kicks in")
     ap.add_argument("--prune", action="store_true",
                     help="median-prune trials that lag completed ones (Optuna semantics)")
     ap.add_argument("--prune-startup-trials", type=int, default=2)
@@ -70,6 +79,8 @@ def main():
             if getattr(args, name) == ap.get_default(name) and name in spec:
                 setattr(args, name, spec[name])
         args.prune = args.prune or bool(spec.get("prune", False))
+        if args.sampler == ap.get_default("sampler") and "sampler" in spec:
+            args.sampler = spec["sampler"]
         for k, choices in (spec.get("space") or {}).items():
             cat_space.setdefault(k, [str(c) for c in choices])
         for k, (lo, hi) in (spec.get("space_log") or {}).items():
@@ -80,7 +91,13 @@ def main():
     if not args.experiment:
         ap.error("--experiment (or a --config with one) is required")
 
-    rs = np.random.RandomState(args.seed)
+    from particle_fm_tpu.training.hparam import TrialRecord, make_sampler
+
+    sampler = make_sampler(
+        args.sampler, cat_space, log_space, seed=args.seed, mode=args.mode,
+        **({"n_startup_trials": args.tpe_startup_trials} if args.sampler == "tpe" else {}),
+    )
+    history: list[TrialRecord] = []
     pruner = None
     if args.prune:
         from particle_fm_tpu.training.stopping import MedianPruner
@@ -92,13 +109,7 @@ def main():
         )
     results = []
     for trial in range(args.n_trials):
-        picks = {k: choices[rs.randint(len(choices))] for k, choices in cat_space.items()}
-        picks.update(
-            {
-                k: float(np.exp(rs.uniform(np.log(lo), np.log(hi))))
-                for k, (lo, hi) in log_space.items()
-            }
-        )
+        picks = sampler.suggest(history)
         overrides = (
             [f"experiment={args.experiment}"]
             + list(args.overrides)
@@ -125,6 +136,10 @@ def main():
             # only COMPLETED (non-pruned, non-failed) trials inform the
             # median (Optuna semantics)
             pruner.complete(prune_cb.history)
+        # pruned/failed trials enter TPE history as NaN (ignored by the
+        # good/bad split) — only completed objectives shape the proposals
+        history.append(TrialRecord(params=picks,
+                                   value=value if not pruned else float("nan")))
         results.append(
             {"trial": trial, "params": picks, args.metric: value, "pruned": pruned}
         )
