@@ -43,6 +43,61 @@ from particle_fm_tpu.models.flow_matching import FlowMatchingModel
 # estimated A100 eager-torch reference at NFE=100 (see docstring)
 BASELINE_JETS_PER_SEC_NFE100 = 740.0 * 198.0 / 100.0
 
+# ---------------------------------------------------------------------------
+# Per-arch A100 eager-torch baseline model (the reference ships eager fp32;
+# configs/trainer/default.yaml leaves `precision: 16` commented out, and there
+# is no torch.compile / sdpa-flash anywhere in the repo). Each family's
+# baseline throughput is a two-component eager roofline over its own audited
+# FLOPs split:
+#
+#     t_jet = nfe * (dense_flops / DENSE_EFF + attn_flops / ATTN_EFF)
+#
+#   DENSE_EFF: cuBLAS TF32 throughput at the family's dense shapes. The
+#     batched GEMMs are (B*150, C, C): at C=256 (droid) cuBLAS sustains
+#     ~30-50% of the 156 TF/s TF32 peak -> 50 TF/s is the GENEROUS end; at
+#     C=128 (cross-attn/epic-like widths) ~25 TF/s; epic's h=128-with-
+#     latent-10 mix of tiny pools keeps its original audited 9.8 TF/s
+#     (6.3% of peak — the round-2 calibration, unchanged for continuity).
+#   ATTN_EFF: eager materialized attention is a chain of tiny-K batched
+#     bmms (K = head_dim 16) + separate softmax kernels: ~10 TF/s on the
+#     matmul component (TF32 bmm at K=16 runs at ~6-13% peak).
+#
+# Estimates deliberately IGNORE eager per-op launch overhead and the f32
+# attention-score HBM traffic (both would only slow the baseline down), so
+# they are upper-bound-leaning: a vs_baseline >= 1 here is a conservative
+# claim. flops audited per arch by XLA cost analysis (see _flops_per_jet);
+# the dense/attn split is analytic (head_dim/L/layers below).
+A100_DENSE_EFF = {"epic": 9.8e12, "droid_fulltransformer": 50e12,
+                  "droid_fullcrossattention": 25e12, "mdma": 25e12}
+A100_ATTN_EFF = 10e12
+
+
+def _attn_flops_per_jet_nfe(name: str) -> float:
+    """Analytic attention-matmul FLOPs (QK^T + PV) per jet per NFE for the
+    production configs in _secondary_archs; the remainder of the audited
+    total is 'dense'."""
+    if name == "droid_fulltransformer":
+        # 3 layers, 16 heads x head_dim 16, L=150 self-attention
+        return 3 * 2 * (2 * 150 * 150 * 16) * 16
+    if name == "droid_fullcrossattention":
+        # 8 cross-attention blocks vs the 150-node set (model_dim 128,
+        # 16 heads x head_dim 8)
+        return 8 * 2 * (2 * 150 * 150 * 8) * 16
+    if name == "mdma":
+        # 8 layers x 8 heads, mixed local/global attention over L=150
+        return 8 * 2 * (2 * 150 * 150 * (256 // 8)) * 8
+    return 0.0  # epic: no attention
+
+
+def _baseline_jets_per_sec(name: str, flops_per_jet_nfe100: float) -> float:
+    """A100 eager-torch baseline throughput at NFE=100 for one family."""
+    if name == "epic":
+        return BASELINE_JETS_PER_SEC_NFE100
+    attn = _attn_flops_per_jet_nfe(name) * 100.0
+    dense = max(flops_per_jet_nfe100 - attn, 0.0)
+    t = dense / A100_DENSE_EFF[name] + attn / A100_ATTN_EFF
+    return 1.0 / t
+
 BATCH = 640
 SCAN_K = 48  # sub-batches per dispatch (lax.scan inside the jitted sampler)
 N_TIMED_BATCHES = 2  # dispatches; total timed jets = BATCH * SCAN_K * N
@@ -72,16 +127,18 @@ def _analytic_flops_per_jet(nfe: int, n=150, h=128, latent=10, layers=6) -> floa
     return float(nfe * (proj + layers * (per_layer_local + per_layer_global)))
 
 
-def _flops_per_jet(model, variables, nfe: int) -> tuple[float, str]:
+def _flops_per_jet(model, variables, nfe: int, batch: int = None) -> tuple[float, str]:
     """FLOPs per jet = (XLA cost analysis of ONE loop-free vector-field
     eval) x NFE. XLA's cost model counts lax.scan/while bodies once, so the
     compiled sampler's own number is useless — the loop-free single eval is
     exact. Analytic matmul model as fallback where the backend reports no
-    flops. Measured on this config: 66.7 MFLOP/jet/NFE (xla)."""
+    flops. Measured (v5e, NFE=100): epic 6.67, droid_fulltransformer 67.1,
+    droid_fullcrossattention 37.3, mdma 64.5 GFLOP/jet."""
+    batch = batch or BATCH
     try:
-        t = jnp.full((BATCH,), 0.5)
-        x = jnp.zeros((BATCH, 150, 3))
-        mask1 = jnp.ones((BATCH, 150, 1))
+        t = jnp.full((batch,), 0.5)
+        x = jnp.zeros((batch, 150, 3))
+        mask1 = jnp.ones((batch, 150, 1))
 
         def vf(t, x, mask):
             return model.vector_field(variables, t, x, mask=mask)
@@ -91,7 +148,7 @@ def _flops_per_jet(model, variables, nfe: int) -> tuple[float, str]:
             cost = cost[0]
         flops = float(cost["flops"])
         if flops > 0:
-            return flops / BATCH * nfe, "xla_cost_analysis_single_vf_x_nfe"
+            return flops / batch * nfe, "xla_cost_analysis_single_vf_x_nfe"
     except Exception:
         pass
     return _analytic_flops_per_jet(nfe), "analytic_matmul_model"
@@ -232,8 +289,11 @@ def main():
 
     # per-arch throughput at NFE=100 (production configs of the other three
     # vector-field families at their tuned batch sizes; ~5k jets per timed
-    # dispatch to bound bench wall time)
-    arch_jets = {}
+    # dispatch to bound bench wall time), with the same accountability keys
+    # as the flagship line: audited FLOPs/jet, achieved TFLOP/s, MFU, and
+    # the per-family A100 eager baseline (see the baseline-model comment)
+    peak = _peak_tflops()
+    arch_jets, arch_detail = {}, {}
     for name, (amodel, abatch) in _secondary_archs().items():
         avars = amodel.init(jax.random.PRNGKey(0))
         scan_k = max(1, 5120 // abatch)
@@ -254,7 +314,19 @@ def main():
         materialize(arun(jax.random.PRNGKey(0)))
         t0 = time.perf_counter()
         materialize(arun(jax.random.PRNGKey(2)))
-        arch_jets[name] = round(abatch * scan_k / (time.perf_counter() - t0), 2)
+        jets = abatch * scan_k / (time.perf_counter() - t0)
+        arch_jets[name] = round(jets, 2)
+        a_flops, a_src = _flops_per_jet(amodel, avars, nfe=100, batch=abatch)
+        a_baseline = _baseline_jets_per_sec(name, a_flops)
+        arch_detail[name] = {
+            "jets_per_sec": round(jets, 2),
+            "flops_per_jet_nfe100": round(a_flops),
+            "flops_source": a_src,
+            "achieved_tflops": round(a_flops * jets / 1e12, 3),
+            "mfu": round(a_flops * jets / 1e12 / peak, 5),
+            "baseline_a100_eager_jets_per_sec": round(a_baseline, 1),
+            "vs_baseline": round(jets / a_baseline, 3),
+        }
 
     # training throughput (secondary key): the production scanned-epoch path
     # (one jitted lax.scan over K full steps — loss, grads, AdamW, EMA).
@@ -289,9 +361,41 @@ def main():
 
     train_jets = measure_train()
 
+    # train-side FLOPs audit (VERDICT r3 item 5): XLA cost analysis of ONE
+    # full jitted training step (loss fwd + bwd + AdamW/clip + EMA) at the
+    # tuned B=320 — the scanned epoch is this step K times, so per-jet FLOPs
+    # from the single step anchor train_mfu exactly like the sampler audit.
+    def _train_flops_per_jet():
+        from particle_fm_tpu.parallel.train import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        t_batch = 320
+        opt = make_optimizer(lr=1e-3)
+        state = create_train_state(model, jax.random.PRNGKey(0), opt)
+        step = make_train_step(model, opt)
+        xb = jnp.zeros((t_batch, 150, 3))
+        mb = jnp.ones((t_batch, 150, 1))
+        cost = (
+            jax.jit(step)
+            .lower(state, jax.random.PRNGKey(1), xb, mb, None)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost["flops"]) / t_batch
+
+    try:
+        train_flops_per_jet = _train_flops_per_jet()
+    except Exception:
+        train_flops_per_jet = 0.0
+    train_tflops = train_flops_per_jet * train_jets / 1e12
+
     del run_100
     flops_per_jet, flops_src = _flops_per_jet(model, variables, nfe=100)
-    peak = _peak_tflops()
     achieved_tflops = flops_per_jet * jets_100 / 1e12
 
     print(
@@ -305,7 +409,11 @@ def main():
                 "nfe50_quality_matched_jets_per_sec": round(jets_50, 2),
                 "reflow_nfe1_jets_per_sec": round(jets_1, 2),
                 "arch_jets_per_sec_nfe100": arch_jets,
+                "arch_perf_nfe100": arch_detail,
                 "train_jets_per_sec": round(train_jets, 2),
+                "train_flops_per_jet": round(train_flops_per_jet),
+                "train_achieved_tflops": round(train_tflops, 3),
+                "train_mfu": round(train_tflops / peak, 5),
                 "flops_per_jet_nfe100": round(flops_per_jet),
                 "flops_source": flops_src,
                 "achieved_tflops": round(achieved_tflops, 3),
