@@ -84,8 +84,10 @@ def _attn_flops_per_jet_nfe(name: str) -> float:
         # 16 heads x head_dim 8)
         return 8 * 2 * (2 * 150 * 150 * 8) * 16
     if name == "mdma":
-        # 8 layers x 8 heads, mixed local/global attention over L=150
-        return 8 * 2 * (2 * 150 * 150 * (256 // 8)) * 8
+        # 8 layers: ONE class-token query attends over 150 particles
+        # (Lq=1 — nets/mdma.py), so attention matmuls are negligible and the
+        # family is dense-dominated (hidden-256 per-particle MLPs)
+        return 8 * 2 * (2 * 1 * 150 * (256 // 8)) * 8
     return 0.0  # epic: no attention
 
 
