@@ -80,6 +80,52 @@ def masked_attention(
     return (out * inv).astype(q.dtype)
 
 
+def class_token_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Single-query attention (Lq == 1) as VPU reductions, not matmuls.
+
+    q: (B, 1, H, D), k/v: (B, Lk, H, D) -> (B, 1, H, D). Numerically the
+    einsum path with f32 accumulation, restated as elementwise-mul +
+    axis reductions.
+
+    Why: with Lq=1 the einsum form is a degenerate batched dot (M=1) whose
+    (B, H) batch dims make XLA:TPU assign a BATCH-ON-LANES layout
+    ({0,2,1}: batch minor-most, 128-lane-tiled) to the big (B, Lk, hidden)
+    K/V producers. That layout is only aligned when B is a multiple of 128
+    with the working set still VMEM-resident — the measured MDMA B=256
+    throughput cliff (+83% over B=224/288, docs/RESULTS.md rounds 3-4; HLO
+    at B=288 shows 16 staging copies of the bf16[B,150,256] K/V tensors
+    that vanish at exactly B=256). The reduce form keeps the natural
+    channel-minor layout, making throughput monotone in batch size instead
+    of cliffed.
+
+    MEASURED OUTCOME (v5e, 2026-08): NEGATIVE — explicit-only (impl=
+    "class_token"), not auto-dispatched. The reduce form is SLOWER at every
+    batch (B=256: 9.7 vs 6.2 us/jet/eval; B=224: 11.7 vs 7.8): the f32
+    broadcast-multiply reads the full K/V streams per pass on the VPU with
+    an 8-wide minor head axis, costing more than the batched-dot layout
+    damage it avoids, and it forfeits the VMEM-resident fusion that makes
+    B=256 fast. Kept as recorded infrastructure; the production fix for the
+    cliff is batch-padding to the aligned size (models/flow_matching.py
+    mdma sampling path).
+    """
+    d = q.shape[-1]
+    scale = 1.0 / (d**0.5)
+    # (B, Lk, H): contraction over D as an elementwise product + lane reduce
+    logits = jnp.sum(q.astype(jnp.float32) * k.astype(jnp.float32), axis=-1)
+    logits = logits * scale
+    if kv_mask is not None:
+        keep = kv_mask.astype(bool)[..., None]  # (B, Lk, 1)
+        logits = jnp.where(keep, logits, NEG_INF)
+    weights = jnn.softmax(logits, axis=1)  # over Lk
+    out = jnp.sum(weights[..., None] * v.astype(jnp.float32), axis=1, keepdims=True)
+    return out.astype(q.dtype)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -119,6 +165,8 @@ def attention(
     """
     lq, lk, d = q.shape[1], k.shape[1], k.shape[-1]
     on_accel = jax.default_backend() != "cpu"
+    if impl == "class_token" and lq == 1 and attn_bias is None:
+        return class_token_attention(q, k, v, kv_mask)
     if impl == "auto":
         use_flash = on_accel and attn_bias is None and lk >= 1024 and d % 128 == 0
         impl = "flash" if use_flash else "einsum"
