@@ -1,13 +1,21 @@
-# convenience targets (the reference ships a Makefile too)
+# convenience targets (the reference ships a Makefile too; its `test:` target
+# is the same two-tier split — `pytest -k "not slow"`)
 
-.PHONY: test test-fast bench clean-cache native
+.PHONY: test test-all test-fast bench clean-cache native
 
+# fast tier: every test not marked `slow` — the per-commit developer loop.
+# Policy: any test measured >= ~15 s on the CI host (subprocess/CLI e2e,
+# notebook executions, strategy fits, long training loops) carries
+# @pytest.mark.slow; re-derive candidates with `pytest --durations=25`.
 test:
+	python -m pytest tests/ -q -m "not slow"
+
+# full tier: the complete suite (CI / pre-merge)
+test-all:
 	python -m pytest tests/ -q
 
-test-fast:
-	python -m pytest tests/ -q -x --ignore=tests/test_lhco_pipeline.py \
-		--ignore=tests/test_plotting_final_eval.py --ignore=tests/test_log_prob.py
+# legacy alias
+test-fast: test
 
 bench:
 	python bench.py

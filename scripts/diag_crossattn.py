@@ -95,7 +95,11 @@ def main():
 
     results = {}
 
-    results["full"] = measure(args.batch, args.inner)
+    def record(name, val):
+        results[name] = val
+        print(f"  {name}: {val:.3f} ms/eval", flush=True)
+
+    record("full", measure(args.batch, args.inner))
 
     # 1. attention core -> identity on the query stream (keeps dense blocks)
     def attn_skip(self, q, k=None, v=None, kv_mask=None, attn_bias=None,
@@ -103,36 +107,32 @@ def main():
         return q
 
     with patched(tr.MultiHeadedAttentionBlock, "__call__", attn_skip):
-        results["no_attn_block"] = measure(args.batch, args.inner)
+        record("no_attn_block", measure(args.batch, args.inner))
 
-    # 2. dense blocks inside the CA layers -> skipped (attention kept)
-    orig_layer_call = tr.TransformerCrossAttentionLayer.__call__
+    # 2. square dense blocks -> identity (only the in-layer DenseNetworks are
+    # square 128->128; embedders change width and are untouched). A plain
+    # (non-compact) patch that creates no submodules sidesteps flax's
+    # compact-method binding, which cannot be monkeypatched post-class.
+    def dense_skip_square(self, x, ctxt=None, deterministic=True):
+        if self.out_dim(x.shape[-1]) == x.shape[-1]:
+            return x
+        return tr.DenseNetwork.__wrapped_call__(self, x, ctxt, deterministic)
 
-    def layer_no_dense(self, q_seq, kv_seq, kv_mask=None, ctxt=None,
-                       deterministic=True):
-        kv_n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm0")(kv_seq)
-        q_n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(q_seq)
-        return q_seq + tr.MultiHeadedAttentionBlock(
-            self.model_dim, do_selfattn=False, dtype=self.dtype,
-            name="cross_attn", **dict(self.mha_config),
-        )(q_n, kv_n, kv_mask=kv_mask, deterministic=deterministic)
-
-    with patched(tr.TransformerCrossAttentionLayer, "__call__", layer_no_dense):
-        results["no_layer_dense"] = measure(args.batch, args.inner)
+    tr.DenseNetwork.__wrapped_call__ = tr.DenseNetwork.__call__
+    with patched(tr.DenseNetwork, "__call__", dense_skip_square):
+        record("no_layer_dense", measure(args.batch, args.inner))
 
     # 3. LayerNorms -> identity everywhere
     def ln_skip(self, x, *a, **k):
         return x
 
     with patched(nn.LayerNorm, "__call__", ln_skip):
-        results["no_layernorm"] = measure(args.batch, args.inner)
+        record("no_layernorm", measure(args.batch, args.inner))
 
     # 4. both attention and dense skipped (embedders + norms only)
     with patched(tr.MultiHeadedAttentionBlock, "__call__", attn_skip):
-        with patched(tr.TransformerCrossAttentionLayer, "__call__", layer_no_dense):
-            results["norms_embd_only"] = measure(args.batch, args.inner)
-
-    del orig_layer_call
+        with patched(tr.DenseNetwork, "__call__", dense_skip_square):
+            record("norms_embd_only", measure(args.batch, args.inner))
     base = results["full"]
     print(f"\nB={args.batch}, ms per vector-field eval (best of 3):")
     for k, v in results.items():

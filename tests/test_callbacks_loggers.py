@@ -15,6 +15,7 @@ from particle_fm_tpu.training.loggers import CSVLogger, JsonlLogger, MultiLogger
 from particle_fm_tpu.training.trainer import Trainer
 
 
+@pytest.mark.slow
 def test_calo_eval_callback(tmp_path, mesh):
     dm = CaloChallengeDataModule(batch_size=64, synthetic=True, synthetic_num_showers=300,
                                  bucket_multiple=32, max_hits=64)
@@ -39,6 +40,7 @@ def test_calo_eval_callback(tmp_path, mesh):
     assert "w1_response" in m
 
 
+@pytest.mark.slow
 def test_per_jettype_losses(tmp_path, mesh):
     files = {}
     for i, split in enumerate(["train", "val", "test"]):
@@ -63,6 +65,7 @@ def test_per_jettype_losses(tmp_path, mesh):
         assert np.isfinite(m[k])
 
 
+@pytest.mark.slow
 def test_logger_backends(tmp_path):
     ml = MultiLogger(str(tmp_path), backends=("jsonl", "csv", "tensorboard"))
     assert len(ml.loggers) >= 2  # jsonl + csv always; tb if tf import works
@@ -116,6 +119,7 @@ def test_logger_service_backends_skip_gracefully(tmp_path):
     assert os.path.exists(tmp_path / "metrics.jsonl")
 
 
+@pytest.mark.slow
 def test_whole_event_eval_callback(tmp_path, mesh):
     """Whole-event eval: train a tiny model on synthetic event clouds, then
     the callback generates, anti-kt re-clusters (native), and reports
@@ -148,6 +152,7 @@ def test_whole_event_eval_callback(tmp_path, mesh):
         assert key in m and np.isfinite(m[key]), (key, m.keys())
 
 
+@pytest.mark.slow
 def test_per_type_w1_breakdown(tmp_path, mesh):
     """per_type_w1: the eval callback reports per-jet-type W1 when the
     datamodule exposes one-hot labels (JetClass)."""

@@ -47,6 +47,7 @@ def setup():
     return model, variables, rng, cond, mask
 
 
+@pytest.mark.slow
 def test_guidance_one_and_none_equal_plain(setup):
     model, variables, rng, cond, mask = setup
     kw = dict(cond=cond, mask=mask, ode_steps=6)
@@ -57,6 +58,7 @@ def test_guidance_one_and_none_equal_plain(setup):
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(w_one))
 
 
+@pytest.mark.slow
 def test_guidance_zero_equals_null_conditioning(setup):
     model, variables, rng, cond, mask = setup
     w0 = model.sample(
@@ -70,6 +72,7 @@ def test_guidance_zero_equals_null_conditioning(setup):
     np.testing.assert_allclose(np.asarray(w0), np.asarray(null), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_guidance_changes_samples_and_stays_masked(setup):
     model, variables, rng, cond, mask = setup
     w2 = model.sample(
@@ -82,6 +85,7 @@ def test_guidance_changes_samples_and_stays_masked(setup):
     np.testing.assert_array_equal(np.asarray(w2 * (1 - mask)), 0.0)
 
 
+@pytest.mark.slow
 def test_cond_dropout_train_only(setup):
     """Dropout acts only with train=True; eval losses are dropout-free."""
     model, variables, rng, cond, mask = setup
@@ -99,6 +103,7 @@ def test_cond_dropout_train_only(setup):
     assert not np.allclose(float(l_train), float(l_plain))
 
 
+@pytest.mark.slow
 def test_cond_dropout_gradients_flow(setup):
     model, variables, rng, cond, mask = setup
     x = jax.random.normal(jax.random.PRNGKey(3), (B, N, F)) * mask
@@ -115,6 +120,7 @@ def test_cond_dropout_gradients_flow(setup):
     assert sum(norms) > 0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("solver", ["ddim", "em"])
 def test_guidance_diffusion_samplers(solver):
     # production schedule (max_sr=0.999): the default max_sr=1.0 puts the

@@ -13,6 +13,7 @@ from particle_fm_tpu.models.classifiers import (
 )
 from particle_fm_tpu.parallel.train import create_train_state, make_optimizer, make_train_step
 from particle_fm_tpu.training.trainer import Trainer
+import pytest
 
 
 def _separable_clouds(n=600, parts=12, seed=0):
@@ -24,6 +25,7 @@ def _separable_clouds(n=600, parts=12, seed=0):
     return real, gen, mask
 
 
+@pytest.mark.slow
 def test_epic_classifier_learns_separable(mesh):
     real, gen, mask = _separable_clouds()
     dm = GenVsRealDataModule(
@@ -97,6 +99,7 @@ def test_gen_vs_real_normalization_and_labels():
     np.testing.assert_array_equal(x * (1 - m), 0.0)
 
 
+@pytest.mark.slow
 def test_two_trunk_discriminator():
     """EPiCDiscriminator3: two DISTINCT trunks (particle + jet level), event
     logits from flattened per-jet + event features (reference

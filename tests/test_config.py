@@ -88,6 +88,7 @@ def test_every_experiment_composes_and_instantiates(exp):
         ("jetnet/fm_tops30", []),
     ],
 )
+@pytest.mark.slow
 def test_experiment_sweep_train_smoke(exp, extra, tmp_path):
     """Fit one tiny epoch for each new experiment family end-to-end."""
     from particle_fm_tpu.train import main
@@ -120,6 +121,7 @@ def test_instantiate_partial():
     assert fn(2, 3) == 5
 
 
+@pytest.mark.slow
 def test_train_cli_smoke(tmp_path):
     """The full CLI path: compose -> run dir -> fit -> test -> metrics."""
     from particle_fm_tpu.train import main
@@ -170,6 +172,7 @@ def test_train_cli_smoke(tmp_path):
     assert os.path.exists(os.path.join(run_dirs[0], "final_eval_metrics.yaml"))
 
 
+@pytest.mark.slow
 def test_train_cli_lhco_jet_features(tmp_path):
     """CLI smoke for the flat-model path (LHCO stage 1)."""
     from particle_fm_tpu.train import main
@@ -212,6 +215,7 @@ def test_train_cli_lhco_jet_features(tmp_path):
         ("jetclass_classifier_hl", []),  # HL model is flat: no num_particles
     ],
 )
+@pytest.mark.slow
 def test_train_cli_jetclass_classifier(exp, extra, tmp_path):
     """CLI e2e for the JetClass classifier-test family (ParT with pairwise
     interaction attention / ParticleNet / HL-MLP) on synthetic gen-vs-sim
@@ -238,6 +242,7 @@ def test_train_cli_jetclass_classifier(exp, extra, tmp_path):
     assert "auroc" in metrics
 
 
+@pytest.mark.slow
 def test_train_cli_gen_challenge(tmp_path):
     """CLI e2e for GenChallenge: sideband + SR-twin eval callbacks both log
     per-feature W1 (parity: gen_challenge_eval.py + gen_challenge_eval_sr.py)."""

@@ -29,6 +29,7 @@ def test_time_grid_boundary():
     assert len(g) == 9 and np.all(np.diff(g) > 0)
 
 
+@pytest.mark.slow
 def test_boundary_condition_exact():
     """g(y, t=0) == y by construction (no c_skip/c_out schedule needed)."""
     model, variables = _tiny()
@@ -42,6 +43,7 @@ def test_boundary_condition_exact():
     np.testing.assert_allclose(np.asarray(out), np.asarray(y * mask), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_init_equals_teacher_euler_jump():
     """At student==teacher, the 1-step consistency sample IS the teacher's
     single Euler step from t=1 to t=0 (same prior draw)."""
@@ -93,6 +95,7 @@ def test_distill_runs_and_moves_params():
     assert np.abs(np.asarray(g)[:, 5:]).max() == 0.0
 
 
+@pytest.mark.slow
 def test_distill_direct_runs():
     """Direct trajectory distillation: finite losses, params move, the
     student samples masked/finite through the same multistep sampler."""

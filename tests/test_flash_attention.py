@@ -6,6 +6,7 @@ import numpy as np
 
 from particle_fm_tpu.ops.attention import masked_attention
 from particle_fm_tpu.ops.pallas.flash_attention import flash_masked_attention
+import pytest
 
 
 def _data(b=2, lq=16, lk=24, h=2, d=8, seed=0):
@@ -17,6 +18,7 @@ def _data(b=2, lq=16, lk=24, h=2, d=8, seed=0):
     return q, k, v, mask
 
 
+@pytest.mark.slow
 def test_flash_matches_reference():
     q, k, v, mask = _data()
     ref = masked_attention(q, k, v, mask)
@@ -24,6 +26,7 @@ def test_flash_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_flash_padding_to_block_multiple():
     # Lk=20 not a multiple of block_k=16: padded keys must not contribute
     q, k, v, mask = _data(lk=20)

@@ -15,6 +15,7 @@ from particle_fm_tpu.models.flow_matching import FlowMatchingModel
 from particle_fm_tpu.parallel.fsdp import fsdp_spec, shard_state_fsdp
 from particle_fm_tpu.parallel.mesh import make_mesh, replicate, shard_batch, shard_batch_sp
 from particle_fm_tpu.parallel.train import create_train_state, make_optimizer, make_train_step
+import pytest
 
 
 def _model():
@@ -44,6 +45,7 @@ def _run_dp(model, opt, steps=3):
     return losses, jax.device_get(state.params)
 
 
+@pytest.mark.slow
 def test_fsdp_matches_dp():
     model = _model()
     opt = make_optimizer(lr=1e-3)

@@ -42,6 +42,7 @@ def _tiny_model(dm):
     )
 
 
+@pytest.mark.slow
 def test_accum_step_matches_manual_weighted_average():
     """One accum step == manual per-microbatch grads, mask-weighted average,
     one optax update — the wiring (rng folding, weights, single update,
@@ -131,6 +132,7 @@ def test_accum_equals_big_batch_for_deterministic_loss():
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("path", ["per_step", "scan", "fused"])
 def test_accum_trainer_paths_agree(tmp_path, path):
     """All three trainer data paths run the SAME accumulated schedule: the

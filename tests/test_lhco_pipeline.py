@@ -15,8 +15,10 @@ from particle_fm_tpu.models.flow_matching import FlowMatchingModel
 from particle_fm_tpu.models.flow_matching_flat import FlatFlowMatchingModel
 from particle_fm_tpu.parallel.mesh import shard_batch
 from particle_fm_tpu.parallel.train import create_train_state, make_optimizer, make_train_step
+import pytest
 
 
+@pytest.mark.slow
 def test_two_stage_lhco_pipeline(mesh):
     # ---------------- stage 1: jet features | mjj
     dm1 = LHCOJetFeatureDataModule(batch_size=64, synthetic=True, synthetic_num_events=1200)

@@ -11,6 +11,7 @@ import numpy as np
 from particle_fm_tpu.models.flow_matching import FlowMatchingModel
 from particle_fm_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from particle_fm_tpu.parallel.train import create_train_state, make_optimizer, make_train_step
+import pytest
 
 
 def test_log_prob_untrained_is_prior():
@@ -28,6 +29,7 @@ def test_log_prob_untrained_is_prior():
     assert (np.asarray(lp_near) > np.asarray(lp_far)).all()
 
 
+@pytest.mark.slow
 def test_log_prob_trained_matches_analytic(mesh):
     """1-particle 1-feature sets: target N(2, 0.25). After training, log_prob
     should approximate the analytic density up to modest tolerance."""
@@ -55,6 +57,7 @@ def test_log_prob_trained_matches_analytic(mesh):
     np.testing.assert_allclose(lp, analytic, atol=0.5)
 
 
+@pytest.mark.slow
 def test_log_prob_hutchinson_close_to_exact():
     model = FlowMatchingModel(model="epic", features=2, num_particles=3,
                               hidden_dim=8, latent=4, layers=1, frequencies=4)
@@ -74,6 +77,7 @@ def test_log_prob_hutchinson_close_to_exact():
     np.testing.assert_allclose(lp_hutch, lp_exact, atol=0.35)
 
 
+@pytest.mark.slow
 def test_log_prob_multi_transform_stack():
     """n_transforms > 1: log_prob chains the whole CNF stack (reference
     composes one CNF per flow, flow_matching_module.py:168-196) and stays a
@@ -91,6 +95,7 @@ def test_log_prob_multi_transform_stack():
     assert (np.asarray(lp_near) > np.asarray(lp_far)).all()
 
 
+@pytest.mark.slow
 def test_log_prob_single_transform_flow_k_equivalence():
     """The flow_k-based path must agree with the original full-stack apply
     for n_transforms == 1 (regression guard for the stack generalization)."""
@@ -177,6 +182,7 @@ def test_flat_flow_k_matches_composite_single_transform():
     np.testing.assert_allclose(np.asarray(full), np.asarray(single), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_log_prob_diffusion_uses_pf_ode_drift():
     """For loss_type=diffusion, log_prob must integrate the probability-flow
     drift -0.5*beta*(x - eps/sigma), not the raw noise prediction. With a

@@ -122,6 +122,7 @@ def test_sinkhorn_plan_marginals():
     np.testing.assert_allclose(plan.sum(axis=1), np.full((2, 5), 1 / 5), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_cfm_ot_loss_runs():
     x, mask, _ = synthetic_cloud(batch=4, n=8)
     loss = float(

@@ -159,6 +159,7 @@ def test_fpd_infinite_extrapolation():
     assert np.isfinite(v2) and np.isnan(e2)
 
 
+@pytest.mark.slow
 def test_generate_data_driver():
     from particle_fm_tpu.models.flow_matching import FlowMatchingModel
 

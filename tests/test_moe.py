@@ -35,6 +35,7 @@ def _dense_mixture(params, x, act="lrlu"):
     return jnp.einsum("bne,bned->bnd", gates, outs)
 
 
+@pytest.mark.slow
 def test_full_capacity_equals_dense_mixture():
     """With C=N (capacity_factor=E) every expert takes every token, so the
     routed computation must equal the explicit dense mixture."""
@@ -44,6 +45,7 @@ def test_full_capacity_equals_dense_mixture():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_permutation_equivariance():
     moe, params, x = _toy(capacity_factor=1.5)
     perm = jax.random.permutation(jax.random.PRNGKey(7), x.shape[1])
@@ -107,6 +109,7 @@ def _batch(B=16, N=8):
     return x, mask, cond
 
 
+@pytest.mark.slow
 def test_moe_transformer_trains_and_samples():
     """The droid transformer with MoE dense blocks (te_config.moe_config)
     trains (loss drops over a few steps) and samples finitely."""
@@ -133,6 +136,7 @@ def test_moe_transformer_trains_and_samples():
     assert np.isfinite(np.asarray(samp)).all()
 
 
+@pytest.mark.slow
 def test_dp_ep_matches_replicated():
     """Expert parallelism is a placement: the train step with expert params
     sharded over 'model' (moe_ep_rules) matches the replicated step

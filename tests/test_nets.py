@@ -9,6 +9,7 @@ from particle_fm_tpu.nets.common import WNDense
 from particle_fm_tpu.nets.epic import EPiCEncoder
 from particle_fm_tpu.nets.time_emb import cosine_encoding, sincos_embedding
 from tests.conftest import synthetic_cloud
+import pytest
 
 
 def _encoder(**kw):
@@ -17,6 +18,7 @@ def _encoder(**kw):
     return EPiCEncoder(**defaults)
 
 
+@pytest.mark.slow
 def test_epic_shapes_and_mask_zeroing():
     enc = _encoder()
     x, mask, _ = synthetic_cloud(batch=4, n=12)
@@ -56,6 +58,7 @@ def test_epic_permutation_equivariance():
     np.testing.assert_allclose(out_p, out[:, perm], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_epic_conditioning_changes_output():
     enc = _encoder(global_cond_dim=4, local_cond_dim=4)
     x, mask, cond = synthetic_cloud(batch=4, n=12, cond_dim=4)

@@ -8,6 +8,7 @@ import numpy as np
 
 from particle_fm_tpu.nets.epic import EPiCLayer
 from particle_fm_tpu.ops.pallas.epic_layer import epic_layer_fused_fwd
+import pytest
 
 
 def _fold(p):
@@ -16,6 +17,7 @@ def _fold(p):
     return w, b
 
 
+@pytest.mark.slow
 def test_fused_epic_layer_matches_linen():
     B, N, H, L, F2, C = 8, 16, 128, 8, 12, 2
     rs = np.random.RandomState(0)

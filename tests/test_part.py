@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from particle_fm_tpu.nets.part import ParTClassifierNet, pairwise_features
+import pytest
 
 TINY = dict(
     embed_dims=(16, 16),
@@ -23,6 +24,7 @@ TINY = dict(
 )
 
 
+@pytest.mark.slow
 def test_pairwise_features_formulas():
     """lnDelta/lnkT/lnz/lnm2 vs explicit numpy formulas, incl. phi wrap."""
     pt = np.array([[1.5, 0.5, 2.0]], np.float32)
@@ -104,6 +106,7 @@ def test_part_kin_stats_unnormalize():
     assert logits.shape == (2, 2) and np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_part_padding_invariance():
     """Appending fully-masked particles must not change the logits."""
     net = ParTClassifierNet(n_classes=2, **TINY)
@@ -121,6 +124,7 @@ def test_part_padding_invariance():
     np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_part_gradients_finite_with_padding():
     """The log-clamped pair features must not inject NaNs into the grads."""
     net = ParTClassifierNet(n_classes=2, **TINY)
@@ -144,6 +148,7 @@ def test_part_gradients_finite_with_padding():
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
 
 
+@pytest.mark.slow
 def test_part_learns_pair_structure(mesh):
     """Classes that differ ONLY in intra-jet angular correlations.
 

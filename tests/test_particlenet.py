@@ -71,6 +71,7 @@ def test_particlenet_forward_shape(pnet_setup):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_particlenet_padding_invariance(pnet_setup):
     """Appending fully-masked particles must not change the logits (the kNN
     exclusion + masked pooling contract)."""
@@ -110,6 +111,7 @@ def test_set_classifier_particlenet_trains():
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_reinit_head_keeps_trunk():
     from particle_fm_tpu.models.classifiers import SetClassifierModel
 
@@ -177,6 +179,7 @@ def test_jetclass_classifier_dm_hl_mode():
     assert dm.train.mask is None
 
 
+@pytest.mark.slow
 def test_classifier_test_script_jetclass_mode(tmp_path, monkeypatch):
     """scripts/classifier_test.py --data_file: the JetClass workflow runs on a
     classifier h5 with the particlenet arch and fine-tune-from-pretrained
@@ -253,6 +256,7 @@ def test_jetclass_classifier_dm_h5_roundtrip(tmp_path):
     assert len(dm.train.x) + len(dm.val.x) + len(dm.test.x) == 2 * n
 
 
+@pytest.mark.slow
 def test_reinit_head_epic_and_particlenet_scopes():
     """reinit_head must replace ONLY the head modules: epic keeps its
     fc_l*/fc_g* trunk embeds and epic_layer_* blocks; particlenet replaces

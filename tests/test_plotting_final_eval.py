@@ -17,8 +17,10 @@ from particle_fm_tpu.models.flow_matching import FlowMatchingModel
 from particle_fm_tpu.parallel.train import make_optimizer
 from particle_fm_tpu.training.trainer import Trainer
 from tests.conftest import synthetic_cloud
+import pytest
 
 
+@pytest.mark.slow
 def test_plot_data_and_ratios(tmp_path):
     x1, m1, _ = synthetic_cloud(batch=100, n=20, seed=0)
     x2, m2, _ = synthetic_cloud(batch=100, n=20, seed=1)
@@ -63,6 +65,7 @@ def test_plot_generation_timing(tmp_path):
     assert os.path.exists(p)
 
 
+@pytest.mark.slow
 def test_measure_generation_timing_tiny():
     """scripts/timing_plots.py core: one (size, model) entry measured live."""
     import jax
@@ -94,6 +97,7 @@ def test_plot_substructure(tmp_path):
     assert os.path.exists(p)
 
 
+@pytest.mark.slow
 def test_final_eval_callback_end_to_end(tmp_path, mesh):
     dm = JetNetDataModule(
         jet_type=("t",), num_particles=10, batch_size=64,

@@ -59,6 +59,7 @@ def _batch(B=8, N=12, cond_dim=2, masked=True):
     "stages,microbatches,num_layers",
     [(4, 4, 4), (2, 8, 4), (8, 2, 8), (4, 4, 8)],
 )
+@pytest.mark.slow
 def test_pp_forward_matches_module(stages, microbatches, num_layers):
     model = _droid(num_layers=num_layers)
     variables = model.init(jax.random.PRNGKey(0))
@@ -71,6 +72,7 @@ def test_pp_forward_matches_module(stages, microbatches, num_layers):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pp_forward_uncond_unmasked():
     """cond=None exercises the ctxt-free path through the pipeline ticks
     (t_emb alone feeds ctxt_embd when ctxt_dim>0; here ctxt_dim comes from
@@ -86,6 +88,7 @@ def test_pp_forward_uncond_unmasked():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pp_grads_match():
     """AD through scan+ppermute is the backward pipeline; grads must equal
     the unpipelined loss gradients."""
@@ -112,6 +115,7 @@ def test_pp_grads_match():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
 
 
+@pytest.mark.slow
 def test_pp_train_step_matches_dp():
     """One full optimizer step (loss, grads, AdamW, EMA) pipelined over 4
     stages lands on the same parameters as the single-device step."""
@@ -136,6 +140,7 @@ def test_pp_train_step_matches_dp():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dp_pp_forward_matches_module():
     """dp x pp: 2 independent 4-stage pipelines on a ('data','pipe') 2x4
     mesh, batch sharded over 'data' — still a numerical no-op."""
@@ -150,6 +155,7 @@ def test_dp_pp_forward_matches_module():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_dp_pp_train_step_matches_dp():
     """A full optimizer step on the 2x4 dp x pp mesh (batch committed to the
     'data' sharding by make_train_step_pp's in_shardings, grads all-reduced

@@ -22,6 +22,7 @@ def test_reflow_loss_zero_on_straight_field():
     assert float(loss) < 1e-10
 
 
+@pytest.mark.slow
 def test_reflow_loss_masked_and_wired():
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 6, 8))
@@ -60,6 +61,7 @@ def test_pairs_datamodule_roundtrip(tmp_path):
     assert xb.shape == (16, 6, 6) and mb.shape == (16, 6, 1) and cb.shape == (16, 2)
 
 
+@pytest.mark.slow
 def test_reflow_e2e_tiny(tmp_path):
     """Teacher -> pairs -> student training -> few-step sampling, end to end."""
     from particle_fm_tpu.parallel.train import create_train_state, make_optimizer
@@ -115,6 +117,7 @@ def test_generate_pairs_guards():
         generate_pairs(m, {}, 4, mask=np.ones((4, 4, 1)))
 
 
+@pytest.mark.slow
 def test_generate_pairs_diffusion_teacher():
     """Diffusion teachers rectify through the probability-flow ODE."""
     m = FlowMatchingModel(model="epic", features=3, num_particles=4,

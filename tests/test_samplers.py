@@ -138,6 +138,7 @@ def test_dopri5_per_sample_matches_global_through_sample():
     np.testing.assert_allclose(np.asarray(xp), np.asarray(xt), atol=2e-2)
 
 
+@pytest.mark.slow
 def test_dopri5_per_sample_uncond_unmasked():
     from particle_fm_tpu.models.flow_matching import FlowMatchingModel
 

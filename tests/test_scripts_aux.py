@@ -7,10 +7,12 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_preprocessing_calo_challenge(tmp_path):
     out = tmp_path / "calo.npz"
     scaler_out = tmp_path / "scaler.gz"
@@ -63,6 +65,7 @@ def test_notebooks_valid_and_in_sync():
         )
 
 
+@pytest.mark.slow
 def test_guidance_sweep_e2e(tmp_path):
     """Tiny CFG run -> scripts/guidance_sweep.py writes a sane sweep yaml."""
     from particle_fm_tpu.train import main

@@ -32,6 +32,7 @@ def test_guards():
         _model(n_transforms=2)
 
 
+@pytest.mark.slow
 def test_loss_and_sample_shapes_masked():
     model = _model()
     variables = model.init(jax.random.PRNGKey(0))
@@ -64,6 +65,7 @@ def test_loss_and_sample_shapes_masked():
                      ode_solver="rk4", ode_steps=8)
 
 
+@pytest.mark.slow
 def test_self_cond_input_is_consumed():
     """The vector field must actually depend on x_sc (wider input layer)."""
     model = _model()
@@ -75,6 +77,7 @@ def test_self_cond_input_is_consumed():
     assert float(jnp.max(jnp.abs(v0 - v1))) > 1e-4
 
 
+@pytest.mark.slow
 def test_training_learns_shifted_gaussian():
     """Self-cond CFM moves samples toward a 1.5 + 0.5*N(0,1) target: mean
     lands on 1.5 and the std contracts well below the N(0,1) prior's 1.0.

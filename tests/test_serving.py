@@ -45,6 +45,7 @@ def _batch(n=4, npart=8, cdim=2, seed=1):
     return cond, mask
 
 
+@pytest.mark.slow
 def test_export_matches_live_sampler(tmp_path):
     model, variables = _tiny_model()
     cond, mask = _batch()

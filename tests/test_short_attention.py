@@ -28,6 +28,7 @@ def _inputs(b=3, lq=10, lk=10, h=4, d=16, seed=0, masked=True):
     return q, k, v, mask
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("masked", [True, False])
 def test_fused_matches_einsum(masked):
     q, k, v, mask = _inputs(masked=masked)
@@ -51,6 +52,7 @@ def test_fused_with_attn_bias():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_cross_attention_shapes():
     """Lq != Lk (perceiver there-and-back layers) + non-multiple-of-8 pads."""
     q, _, _, _ = _inputs(lq=5, seed=3)
@@ -63,6 +65,7 @@ def test_fused_cross_attention_shapes():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_bf16_inputs():
     q, k, v, mask = _inputs(seed=5)
     args = [jnp.asarray(a, jnp.bfloat16) for a in (q, k, v)]
@@ -86,6 +89,7 @@ def test_fused_fits_budget():
 from particle_fm_tpu.ops.pallas.short_attention import packed_short_attention
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("masked", [True, False])
 @pytest.mark.parametrize("l", [10, 16, 150])
 def test_packed_matches_einsum(masked, l):
@@ -99,6 +103,7 @@ def test_packed_matches_einsum(masked, l):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_packed_with_attn_bias():
     q, k, v, mask = _inputs(seed=8)
     rs = np.random.RandomState(9)
@@ -111,6 +116,7 @@ def test_packed_with_attn_bias():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_packed_bf16_inputs():
     q, k, v, mask = _inputs(seed=10, lq=150, lk=150)
     args = [jnp.asarray(a, jnp.bfloat16) for a in (q, k, v)]
@@ -129,6 +135,7 @@ def test_packed_rejects_cross_attention():
                                jnp.asarray(mask), interpret=True)
 
 
+@pytest.mark.slow
 def test_packed_grad_matches_einsum():
     """The custom VJP (einsum-path recompute) must match einsum-path grads."""
     q, k, v, mask = _inputs(b=2, lq=12, lk=12, h=2, d=8, seed=11)

@@ -2,6 +2,8 @@
 
 import numpy as np
 
+import pytest
+
 from particle_fm_tpu.training.stopping import (
     EarlyStopping,
     MedianPruner,
@@ -119,6 +121,7 @@ def test_pruning_callback_stops_trainer():
     assert cb.history == {0: 0.45, 1: 0.9}
 
 
+@pytest.mark.slow
 def test_trainer_should_stop_breaks_loop(tmp_path):
     """A callback that requests a stop ends fit() early (integration)."""
     from particle_fm_tpu.data.jetnet import JetNetDataModule

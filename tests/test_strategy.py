@@ -40,6 +40,7 @@ def _run(tmp_path, extra):
     return main(BASE_OVERRIDES + [f"output_dir={tmp_path}/run"] + extra)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("strategy", ["fsdp", "dp_tp", "sp"])
 def test_train_cli_strategy(tmp_path, strategy):
     """The CLI trains under each beyond-reference strategy on the virtual
@@ -50,6 +51,7 @@ def test_train_cli_strategy(tmp_path, strategy):
     assert os.path.exists(os.path.join(run_dir, "checkpoints", "last"))
 
 
+@pytest.mark.slow
 def test_train_cli_fsdp_resume(tmp_path):
     """FSDP run -> resume from its sharded-state checkpoint -> continues
     (step counter advances; loss finite)."""
@@ -101,6 +103,7 @@ def test_sharded_checkpoint_roundtrip(tmp_path, mesh):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("strategy,stages", [("pp", 4), ("dp_pp", 2)])
 def test_train_cli_strategy_pp(tmp_path, strategy, stages):
     """Pipeline parallelism from the CLI: the droid transformer trains with
@@ -139,6 +142,7 @@ def test_train_cli_strategy_pp(tmp_path, strategy, stages):
     assert os.path.exists(os.path.join(run_dir, "checkpoints", "last"))
 
 
+@pytest.mark.slow
 def test_train_cli_strategy_dp_ep(tmp_path):
     """Expert parallelism from the CLI: the droid transformer with MoE dense
     blocks (te_config.moe_config) trains with the expert axis sharded over a

@@ -232,6 +232,7 @@ def test_imported_variables_forward_parity_droid(droid_tnet):
     assert_close(out, out_ref, what="imported droid vector field")
 
 
+@pytest.mark.slow
 def test_imported_variables_forward_parity(tnet):
     """Full-model import: vector_field == the executed reference encoder fed
     the same (sincos) time embedding."""
@@ -274,6 +275,7 @@ def test_import_rejects_mismatched_model(tnet):
         variables_from_reference_state_dict(_lightning_sd(tnet), wrong)
 
 
+@pytest.mark.slow
 def test_import_cli_end_to_end(tnet, tmp_path):
     """Fake reference .ckpt -> import CLI -> load_run -> sample."""
     ckpt = tmp_path / "epoch=99-EMA.ckpt"

@@ -392,6 +392,7 @@ def test_full_transformer_forward_parity(ref):
     assert_close(out, out_ref, what="FullTransformerEncoder forward")
 
 
+@pytest.mark.slow
 def test_full_crossattention_forward_parity(ref):
     """FullCrossAttentionEncoder (droid_transformer.py:622-711) vs flax twin."""
     from particle_fm_tpu.nets.transformer import FullCrossAttentionEncoder
@@ -438,6 +439,7 @@ def test_full_crossattention_forward_parity(ref):
     assert_close(out, out_ref, what="FullCrossAttentionEncoder forward")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cat_cond", [False, True])
 def test_mdma_forward_parity(ref, cat_cond):
     """MDMA (mdma.py:87-176) vs flax twin, incl. nn.MultiheadAttention split.
@@ -504,6 +506,7 @@ def test_mdma_forward_parity(ref, cat_cond):
     assert_close(out, out_ref, what="MDMA forward")
 
 
+@pytest.mark.slow
 def test_iterative_norm_layer_parity(ref):
     """IterativeNormLayer (norm_layer.py:7-155): fit/update/forward/reverse."""
     import jax
@@ -838,6 +841,7 @@ def test_datamodule_one_hot_and_base_dist_parity(ref_data_utils):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_training_trajectory_parity(ref, monkeypatch):
     """20 full optimization steps against the executed reference stack.
 
@@ -1026,6 +1030,7 @@ def test_epic_discriminator_forward_parity(ref):
     assert_close(out, out_ref, what="epic_discriminator")
 
 
+@pytest.mark.slow
 def test_epic_discriminator_supsets_cond_parity(ref):
     """EPiC_discriminator with num_sup_sets=2 + global/local conditioning
     (the LHCO dijet classifier config): the reference takes (B, S, N, F) and
@@ -1080,6 +1085,7 @@ def ref_mlp(ref):
     return importlib.import_module("particle_fm.models.components.mlp")
 
 
+@pytest.mark.slow
 def test_small_cond_mlp_parity(ref_mlp):
     """small_cond_MLP_model (mlp.py:24-68): 4 ELU-MLP stages with (t, cond)
     re-concatenated at every stage input."""

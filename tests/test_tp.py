@@ -8,6 +8,7 @@ from particle_fm_tpu.models.flow_matching import FlowMatchingModel
 from particle_fm_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from particle_fm_tpu.parallel.tp import epic_tp_rules, shard_state, transformer_tp_rules, tree_shardings
 from particle_fm_tpu.parallel.train import create_train_state, make_optimizer, make_train_step
+import pytest
 
 
 def _model():
@@ -26,6 +27,7 @@ def _batch(mesh, n=32):
     return shard_batch((x, m, c), mesh)
 
 
+@pytest.mark.slow
 def test_tp_matches_dp():
     model = _model()
     opt = make_optimizer(lr=1e-3)
@@ -74,6 +76,7 @@ def test_tp_params_actually_sharded():
     assert sharded >= 2
 
 
+@pytest.mark.slow
 def test_transformer_tp_rules_apply():
     model = FlowMatchingModel(
         model="droid_fulltransformer", features=3, num_particles=10, frequencies=6,

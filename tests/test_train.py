@@ -32,6 +32,7 @@ def tiny_model(**kw):
     return FlowMatchingModel(**defaults)
 
 
+@pytest.mark.slow
 def test_train_steps_decrease_loss(mesh):
     model = tiny_model()
     opt = make_optimizer(lr=1e-3, grad_clip=0.5)
@@ -51,6 +52,7 @@ def test_train_steps_decrease_loss(mesh):
     assert losses[-1] != losses[0]
 
 
+@pytest.mark.slow
 def test_ema_tracks_params(mesh):
     model = tiny_model()
     opt = make_optimizer(lr=1e-2)
@@ -67,6 +69,7 @@ def test_ema_tracks_params(mesh):
     assert not np.allclose(np.asarray(e), np.asarray(p))  # but lags params
 
 
+@pytest.mark.slow
 def test_eval_step_deterministic(mesh):
     model = tiny_model()
     opt = make_optimizer()
@@ -80,6 +83,7 @@ def test_eval_step_deterministic(mesh):
     assert l1 == l2
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("solver", ["euler", "midpoint", "rk4"])
 def test_sampling_shapes_and_mask(solver):
     model = tiny_model()
@@ -99,6 +103,7 @@ def test_sampling_shapes_and_mask(solver):
     assert np.isfinite(out_np).all()
 
 
+@pytest.mark.slow
 def test_conditional_model_trains_and_samples(mesh):
     model = tiny_model(global_cond_dim=2, local_cond_dim=2)
     opt = make_optimizer()
@@ -139,6 +144,7 @@ def test_diffusion_model_em_and_ddim_sampling():
         assert np.isfinite(np.asarray(out)).all(), solver
 
 
+@pytest.mark.slow
 def test_normaliser_roundtrip(mesh):
     model = tiny_model(use_normaliser=True, global_cond_dim=2, local_cond_dim=0)
     opt = make_optimizer()
@@ -163,6 +169,7 @@ def test_normaliser_roundtrip(mesh):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_n_transforms_stack():
     model = tiny_model(n_transforms=2)
     variables = model.init(jax.random.PRNGKey(0))

@@ -61,6 +61,7 @@ def make_setup(tmp_path, max_epochs=2):
     return dm, model, trainer
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(tmp_path, mesh):
     dm, model, trainer = make_setup(tmp_path)
     state = trainer.fit()
@@ -168,6 +169,7 @@ def test_logging_schedules():
     assert should_log("nolog10000", 200) and not should_log("nolog10000", 300)
 
 
+@pytest.mark.slow
 def test_scanned_epoch_matches_per_step_loop(tmp_path):
     """scan_epochs=True (one jitted lax.scan per epoch) must be numerically
     identical to the per-step dispatch loop: same shuffle, same step body,

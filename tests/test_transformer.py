@@ -15,6 +15,7 @@ from particle_fm_tpu.nets.transformer import (
 )
 from particle_fm_tpu.ops.attention import masked_attention
 from tests.conftest import synthetic_cloud
+import pytest
 
 TE_CONFIG = {
     "model_dim": 32,
@@ -45,6 +46,7 @@ def test_masked_attention_padding_invariance():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_masked_attention_bf16_scores_close_to_f32():
     """scores_dtype=bfloat16 (droid sampling fast path) tracks the exact
     f32 path to bf16 resolution, including masked keys and an attn_bias."""
@@ -66,6 +68,7 @@ def test_masked_attention_bf16_scores_close_to_f32():
     np.testing.assert_allclose(fast, fast2, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_masked_attention_bf16_scores_grads_finite():
     """The fast path stays differentiable (training-safe): finite grads."""
 
@@ -121,6 +124,7 @@ def test_dense_network_output_init_zeros():
     np.testing.assert_array_equal(np.asarray(net.apply(params, x)), 0.0)
 
 
+@pytest.mark.slow
 def test_full_transformer_shapes_and_padding_invariance():
     enc = FullTransformerEncoder(
         outp_dim=3,
@@ -182,6 +186,7 @@ def test_full_cross_attention_encoder():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_mdma_shapes_and_masking():
     net = MDMA(latent=8, hidden_dim=16, layers=2, num_heads=4, global_cond_dim=1)
     x, mask, cond = synthetic_cloud(batch=3, n=10, feats=4, cond_dim=1)
@@ -192,6 +197,7 @@ def test_mdma_shapes_and_masking():
     np.testing.assert_array_equal(np.asarray(out) * (1 - mask), 0.0)
 
 
+@pytest.mark.slow
 def test_droid_model_trains_via_flow_matching_model():
     model = FlowMatchingModel(
         model="droid_fulltransformer",
@@ -222,6 +228,7 @@ def test_droid_model_trains_via_flow_matching_model():
     assert out.shape == (4, 10, 3)
 
 
+@pytest.mark.slow
 def test_mdma_model_via_flow_matching_model():
     model = FlowMatchingModel(
         model="mdma",
@@ -242,6 +249,7 @@ def test_mdma_model_via_flow_matching_model():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_flat_flow_matching_model():
     model = FlatFlowMatchingModel(features=10, cond_dim=1)
     variables = model.init(jax.random.PRNGKey(0))
