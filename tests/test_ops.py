@@ -59,3 +59,36 @@ def test_masked_huber_denominator():
     got = float(masked_huber(v, jnp.zeros_like(v), jnp.asarray(mask)))
     want = np.asarray(huber(v)).sum() / mask.sum()
     assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_class_token_attention_matches_einsum_path():
+    """ops/attention.class_token_attention (explicit-only impl, MDMA-cliff
+    study — docs/RESULTS.md r4): the Lq=1 reduce form must be numerically
+    the einsum path, masked and unmasked."""
+    import jax
+
+    from particle_fm_tpu.ops.attention import (
+        attention,
+        class_token_attention,
+        masked_attention,
+    )
+
+    B, Lk, H, D = 4, 12, 8, 16
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(B, 1, H, D).astype(np.float32))
+    k = jnp.asarray(rs.randn(B, Lk, H, D).astype(np.float32))
+    v = jnp.asarray(rs.randn(B, Lk, H, D).astype(np.float32))
+    n_valid = rs.randint(1, Lk + 1, size=B)
+    mask = jnp.asarray((np.arange(Lk)[None, :] < n_valid[:, None]).astype(np.float32))
+
+    for m in (None, mask):
+        ref = np.asarray(masked_attention(q, k, v, kv_mask=m))
+        got = np.asarray(class_token_attention(q, k, v, kv_mask=m))
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+        # the dispatching front-end routes impl="class_token" to the same fn
+        via = np.asarray(attention(q, k, v, kv_mask=m, impl="class_token"))
+        np.testing.assert_allclose(via, got, atol=1e-6)
+
+    # differentiability (it sits on a potential training path)
+    g = jax.grad(lambda qq: float(0) + jnp.sum(class_token_attention(qq, k, v, mask)))(q)
+    assert np.isfinite(np.asarray(g)).all()
