@@ -51,6 +51,7 @@ def make_serve_fn(
     means=None,
     stds=None,
     normalize_sigma: float = 5.0,
+    guidance_scale: Optional[float] = None,
 ) -> Callable:
     """Build the self-contained sampling function to export.
 
@@ -60,6 +61,13 @@ def make_serve_fn(
     datamodule-level inverse z-score — reference utils.py:164-199 semantics,
     x * std/sigma + mean — is part of the graph). The mask re-application
     after de-normalization matches eval/generation.py.
+
+    `guidance_scale` bakes classifier-free guidance (see
+    FlowMatchingModel.sample) into the exported program — the doubled-batch
+    cond/null forward is part of the compiled graph, so a CFG-tuned sampler
+    serves at its chosen w with no client-side involvement. Requires a
+    conditional model (trained with model.cond_dropout > 0 for meaningful
+    null-token behavior).
     """
     import jax
     import jax.numpy as jnp
@@ -84,6 +92,7 @@ def make_serve_fn(
             ode_solver=ode_solver,
             ode_steps=ode_steps,
             num_points=num_points,
+            guidance_scale=guidance_scale,
         )
         if means_a is not None:
             x = x * (stds_a / normalize_sigma) + means_a
@@ -109,6 +118,7 @@ def export_sampler(
     stds=None,
     normalize_sigma: float = 5.0,
     platforms: Optional[list[str]] = None,
+    guidance_scale: Optional[float] = None,
 ) -> tuple[bytes, dict]:
     """Trace + lower + serialize the sampling program. Returns (blob, meta)."""
     import jax
@@ -116,6 +126,10 @@ def export_sampler(
     from jax import export as jexport
 
     has_cond = cond_dim is not None and cond_dim > 0
+    if guidance_scale is not None and not has_cond:
+        raise ValueError(
+            "guidance_scale requires a conditional artifact (cond_dim > 0)"
+        )
     serve = make_serve_fn(
         model,
         variables,
@@ -128,6 +142,7 @@ def export_sampler(
         means=means,
         stds=stds,
         normalize_sigma=normalize_sigma,
+        guidance_scale=guidance_scale,
     )
     specs = [jax.ShapeDtypeStruct((), jnp.uint32)]
     if has_cond:
@@ -144,6 +159,9 @@ def export_sampler(
         "ode_solver": str(ode_solver),
         "ode_steps": int(ode_steps),
         "normalize_sigma": float(normalize_sigma),
+        "guidance_scale": (
+            float(guidance_scale) if guidance_scale is not None else None
+        ),
         "output_units": "physical" if means is not None else "model",
         "platforms": list(exported.platforms),
         "args": ["seed:uint32[]"]

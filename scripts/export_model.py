@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--platforms", nargs="*", default=None,
                     help="lowering platforms (default: local backend)")
     ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--guidance_scale", type=float, default=None,
+                    help="bake classifier-free guidance at this scale into "
+                         "the exported program (conditional models; train "
+                         "with model.cond_dropout > 0 for a meaningful "
+                         "null token)")
     args = ap.parse_args()
 
     from particle_fm_tpu import serving
@@ -68,6 +73,7 @@ def main():
         stds=dm.stds,
         normalize_sigma=getattr(dm, "normalize_sigma", 5),
         platforms=args.platforms,
+        guidance_scale=args.guidance_scale,
     )
     meta["provenance"] = {
         "run_dir": os.path.abspath(args.run_dir),

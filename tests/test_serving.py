@@ -122,3 +122,47 @@ def test_export_cli_from_trained_run(tmp_path):
     assert "verify: max|exported - live|" in res.stdout
     assert os.path.exists(os.path.join(run_dir, "exported", "sampler.stablehlo"))
     assert os.path.exists(os.path.join(run_dir, "exported", "meta.yaml"))
+
+
+def test_export_with_baked_guidance_matches_live():
+    """guidance_scale baked at export time: the artifact must equal the live
+    sampler called with the same guidance_scale (and differ from w=1)."""
+    model, variables = _tiny_model()
+    cond, mask = _batch()
+
+    blob, meta = serving.export_sampler(
+        model, variables, batch_size=4, num_points=8, features=3, cond_dim=2,
+        use_mask=True, ode_solver="midpoint", ode_steps=6, guidance_scale=2.5,
+    )
+    assert meta["guidance_scale"] == 2.5
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = serving.save_exported(os.path.join(d, "exported"), blob, meta)
+        fn, meta2 = serving.load_exported(path)
+        assert meta2["guidance_scale"] == 2.5
+        got = np.asarray(fn(np.uint32(7), jnp.asarray(cond), jnp.asarray(mask)))
+
+    rng = jax.random.PRNGKey(np.uint32(7))
+    live = np.asarray(
+        model.sample(variables, rng, n_samples=4, cond=jnp.asarray(cond),
+                     mask=jnp.asarray(mask), ode_solver="midpoint", ode_steps=6,
+                     guidance_scale=2.5)
+    )
+    np.testing.assert_allclose(got, live * np.asarray(mask), rtol=2e-5, atol=2e-5)
+
+    live_w1 = np.asarray(
+        model.sample(variables, rng, n_samples=4, cond=jnp.asarray(cond),
+                     mask=jnp.asarray(mask), ode_solver="midpoint", ode_steps=6)
+    )
+    assert np.abs(live_w1 * np.asarray(mask) - got).max() > 1e-4
+
+
+def test_export_guidance_requires_cond():
+    model, variables = _tiny_model()
+    with pytest.raises(ValueError, match="guidance_scale requires"):
+        serving.export_sampler(
+            model, variables, batch_size=2, num_points=8, features=3,
+            cond_dim=0, use_mask=True, ode_steps=4, guidance_scale=2.0,
+        )
