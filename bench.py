@@ -129,7 +129,9 @@ def _analytic_flops_per_jet(nfe: int, n=150, h=128, latent=10, layers=6) -> floa
     return float(nfe * (proj + layers * (per_layer_local + per_layer_global)))
 
 
-def _flops_per_jet(model, variables, nfe: int, batch: int = None) -> tuple[float, str]:
+def _flops_per_jet(
+    model, variables, nfe: int, batch: int = None, arch: str = "epic"
+) -> tuple[float, str]:
     """FLOPs per jet = (XLA cost analysis of ONE loop-free vector-field
     eval) x NFE. XLA's cost model counts lax.scan/while bodies once, so the
     compiled sampler's own number is useless — the loop-free single eval is
@@ -153,6 +155,11 @@ def _flops_per_jet(model, variables, nfe: int, batch: int = None) -> tuple[float
             return flops / batch * nfe, "xla_cost_analysis_single_vf_x_nfe"
     except Exception:
         pass
+    if arch != "epic":
+        # the analytic fallback models the EPiC family only; reporting it for
+        # another arch would silently compute MFU/baseline from wrong-family
+        # FLOPs (ADVICE r4) — surface "unavailable" instead
+        return 0.0, "unavailable_xla_cost_analysis_failed"
     return _analytic_flops_per_jet(nfe), "analytic_matmul_model"
 
 
@@ -318,17 +325,20 @@ def main():
         materialize(arun(jax.random.PRNGKey(2)))
         jets = abatch * scan_k / (time.perf_counter() - t0)
         arch_jets[name] = round(jets, 2)
-        a_flops, a_src = _flops_per_jet(amodel, avars, nfe=100, batch=abatch)
-        a_baseline = _baseline_jets_per_sec(name, a_flops)
+        a_flops, a_src = _flops_per_jet(amodel, avars, nfe=100, batch=abatch, arch=name)
         arch_detail[name] = {
             "jets_per_sec": round(jets, 2),
             "flops_per_jet_nfe100": round(a_flops),
             "flops_source": a_src,
-            "achieved_tflops": round(a_flops * jets / 1e12, 3),
-            "mfu": round(a_flops * jets / 1e12 / peak, 5),
-            "baseline_a100_eager_jets_per_sec": round(a_baseline, 1),
-            "vs_baseline": round(jets / a_baseline, 3),
         }
+        if a_flops > 0:
+            a_baseline = _baseline_jets_per_sec(name, a_flops)
+            arch_detail[name].update({
+                "achieved_tflops": round(a_flops * jets / 1e12, 3),
+                "mfu": round(a_flops * jets / 1e12 / peak, 5),
+                "baseline_a100_eager_jets_per_sec": round(a_baseline, 1),
+                "vs_baseline": round(jets / a_baseline, 3),
+            })
 
     # training throughput (secondary key): the production scanned-epoch path
     # (one jitted lax.scan over K full steps — loss, grads, AdamW, EMA).

@@ -179,6 +179,10 @@ class FlatFlowMatchingModel:
             _, jvp = jax.jvp(lambda z: vf_single(k, t, z, ci), (xi,), (ei,))
             return jnp.sum(jvp * ei)
 
+        if ode_steps < 2:
+            # n = ode_steps - 1 midpoint steps; ode_steps=1 would divide by
+            # zero at trace time (ADVICE r4)
+            raise ValueError(f"log_prob needs ode_steps >= 2, got {ode_steps}")
         n = ode_steps - 1
         dt = 1.0 / n
 

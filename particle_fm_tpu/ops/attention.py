@@ -166,6 +166,16 @@ def attention(
     lq, lk, d = q.shape[1], k.shape[1], k.shape[-1]
     on_accel = jax.default_backend() != "cpu"
     if impl == "class_token" and lq == 1 and attn_bias is None:
+        # explicit-impl-only path; it always scores in f32 (VPU reductions)
+        # and has no scores_dtype variant — reject rather than silently
+        # dropping the request (ADVICE r4). Note its fully-masked-set
+        # behavior (uniform weights over padded keys) also differs from the
+        # einsum path; unreachable under the >=1-real-particle convention.
+        if scores_dtype is not None:
+            raise ValueError(
+                "impl='class_token' does not support scores_dtype "
+                "(always f32 accumulation); drop the option or use einsum"
+            )
         return class_token_attention(q, k, v, kv_mask)
     if impl == "auto":
         use_flash = on_accel and attn_bias is None and lk >= 1024 and d % 128 == 0

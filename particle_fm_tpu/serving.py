@@ -163,6 +163,12 @@ def export_sampler(
             float(guidance_scale) if guidance_scale is not None else None
         ),
         "output_units": "physical" if means is not None else "model",
+        # per-chunk seed derivation used by serve_batches for this artifact
+        # (ADVICE r4: recorded so clients/evals can tell which streams an
+        # artifact serves): hash_v1 = SeedSequence([seed, chunk]); the
+        # pre-2026-08 scheme add_v0 (seed + chunk) is still honored when an
+        # older meta.yaml names it.
+        "seed_scheme": "hash_v1",
         "platforms": list(exported.platforms),
         "args": ["seed:uint32[]"]
         + (["cond:float32[%d,%d]" % (batch_size, cond_dim)] if has_cond else [])
@@ -239,10 +245,19 @@ def serve_batches(
         # Per-chunk seeds are derived by hashing (seed, chunk index) rather
         # than `seed + i`: with a raw additive stride, request seed=s chunk 1
         # would collide with seed=s+1 chunk 0 (identical RNG stream for equal
-        # cond), weakening seed independence across adjacent API calls.
-        chunk_seed = np.random.SeedSequence(
-            [int(seed) % (2**64), i]
-        ).generate_state(1)[0]
+        # cond), weakening seed independence across adjacent API calls. The
+        # scheme is recorded in the artifact meta (seed_scheme); artifacts
+        # exported before the scheme key default to hash_v1, while an
+        # explicit add_v0 reproduces the legacy additive streams.
+        scheme = meta.get("seed_scheme", "hash_v1")
+        if scheme == "add_v0":
+            chunk_seed = (int(seed) + i) % (2**32)
+        elif scheme == "hash_v1":
+            chunk_seed = np.random.SeedSequence(
+                [int(seed) % (2**64), i]
+            ).generate_state(1)[0]
+        else:
+            raise ValueError(f"unknown seed_scheme {scheme!r} in artifact meta")
         args = [np.uint32(chunk_seed)]
         if meta.get("cond_dim", 0):
             args.append(pad(cond).astype(np.float32))

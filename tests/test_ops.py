@@ -92,3 +92,8 @@ def test_class_token_attention_matches_einsum_path():
     # differentiability (it sits on a potential training path)
     g = jax.grad(lambda qq: float(0) + jnp.sum(class_token_attention(qq, k, v, mask)))(q)
     assert np.isfinite(np.asarray(g)).all()
+
+    # scores_dtype has no class_token variant (always f32 VPU accumulation) —
+    # the front-end must reject it rather than silently drop it (ADVICE r4)
+    with pytest.raises(ValueError, match="scores_dtype"):
+        attention(q, k, v, kv_mask=mask, impl="class_token", scores_dtype=jnp.bfloat16)
