@@ -1,7 +1,8 @@
 # convenience targets (the reference ships a Makefile too; its `test:` target
 # is the same two-tier split — `pytest -k "not slow"`)
 
-.PHONY: test test-all test-fast bench clean-cache native
+.PHONY: test test-all test-fast bench clean-cache native \
+        repro-bench repro-flagship repro-reflow
 
 # fast tier: every test not marked `slow` — the per-commit developer loop.
 # Policy: any test measured >= ~15 s on the CI host (subprocess/CLI e2e,
@@ -25,6 +26,28 @@ test-fast: test
 
 bench:
 	python bench.py
+
+# ---- one-command reproduction of the three headline claims (README) -------
+# Each target regenerates the raw artifact behind a README/RESULTS number;
+# see docs/evidence/README.md for the claim -> artifact -> command map.
+
+# headline sampling throughput + MFU + per-arch table (JSON on stdout)
+repro-bench:
+	python bench.py
+
+# flagship quality: ~12 min synthetic-data training on TPU + the standalone
+# full-chain eval (writes eval_metrics.yaml into the run dir)
+repro-flagship:
+	python -m particle_fm_tpu.train experiment=jetnet/fm_tops150_cond \
+	    data.synthetic=true data.synthetic_num_jets=30000 \
+	    trainer.max_epochs=800 output_dir=runs/repro_flagship
+	python scripts/eval_ckpt.py --run_dir "$$(ls -dt runs/repro_flagship/* | head -1)"
+
+# ReFlow NFE=1 distillation of the repro-flagship teacher (run after
+# repro-flagship; writes reflow_eval.yaml with the per-NFE W1 table)
+repro-reflow:
+	python scripts/reflow.py --run_dir "$$(ls -dt runs/repro_flagship/* | head -1)" \
+	    --epochs 400 --eval_nfes 1,2,4,100
 
 native:
 	$(MAKE) -C particle_fm_tpu/native/fastjet_lite

@@ -61,6 +61,13 @@ class CheckpointManager:
         self.directory = os.path.abspath(self.directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        # multi-host: orbax saves are COLLECTIVE (every process must call
+        # save — orbax barriers internally and gates the actual bytes to the
+        # primary host / each shard's owner). Shared storage is assumed, as
+        # orbax requires. Host-side directory mutation (rmtree) stays
+        # primary-only; restores read concurrently, which is safe.
+        self._collective = jax.process_count() > 1
+        self._primary = jax.process_index() == 0
         self._pool = (
             ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
             if self.async_save
@@ -75,11 +82,18 @@ class CheckpointManager:
     # ----------------------------------------------------------------- io
     def _write(self, path: str, host_or_dev_state) -> None:
         """The blocking write (worker thread when async): D2H + orbax save."""
-        if os.path.exists(path):
+        if self._primary and os.path.exists(path):
             shutil.rmtree(path)
-        # pull to host first: orbax's per-array replica-slice transfer is
-        # ~35x slower than one bulk device_get for replicated states
-        self._ckptr.save(path, jax.device_get(host_or_dev_state))
+        if self._collective:
+            # hand orbax the jax.Arrays: it writes each array's shards from
+            # their owning processes (FSDP states included) and replicated
+            # arrays from the primary host only — a host-side device_get of
+            # a cross-process-sharded array would throw here anyway
+            self._ckptr.save(path, host_or_dev_state)
+        else:
+            # pull to host first: orbax's per-array replica-slice transfer is
+            # ~35x slower than one bulk device_get for replicated states
+            self._ckptr.save(path, jax.device_get(host_or_dev_state))
         self._ckptr.wait_until_finished()
 
     def _save(self, path: str, state, after=None) -> None:
@@ -136,6 +150,8 @@ class CheckpointManager:
         del entries[self.top_k :]
 
         def prune():
+            if not self._primary:
+                return  # shared storage: exactly one process mutates dirs
             for s in stale:
                 p = os.path.join(mdir, s)
                 if os.path.exists(p):

@@ -142,7 +142,11 @@ class Trainer:
 
         self._rank0 = is_rank_zero()
         if not self._rank0:
-            self.ckpt_dir = None
+            # ckpt_dir is NOT nulled: orbax saves are collective — every
+            # process must make the same save/restore calls (orbax barriers
+            # internally and gates actual writes to the primary host /
+            # shard owners). Deterministic metrics keep the save decisions
+            # identical across hosts. Logs/stdout stay rank-0-only.
             self.log_dir = None
             self.verbose = False
         if self.strategy not in ("dp", "fsdp", "dp_tp", "sp", "pp", "dp_pp", "dp_ep"):

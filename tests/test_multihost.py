@@ -1,12 +1,19 @@
-"""REAL multi-process distributed training (the reference's ddp_spawn analogue).
+"""REAL multi-process distributed tests (the reference's ddp_spawn analogue).
 
 Two OS processes, each owning 2 virtual CPU devices, join a gloo-backed
-jax.distributed cluster and run the same jitted DP train step over a 4-device
-global mesh — the gradient all-reduce crosses the process boundary exactly
-like DCN crosses TPU hosts. Reference counterpart: tests/test_train.py:52-61
-(2-process ddp_spawn CPU simulation). The in-process no-op path of
-maybe_initialize_distributed is covered in test_trainer.py; this test covers
-the actually-distributed path.
+jax.distributed cluster and run the same SPMD program over a 4-device global
+mesh — collectives cross the process boundary exactly like DCN crosses TPU
+hosts. Reference counterpart: tests/test_train.py:52-61 (2-process ddp_spawn
+CPU simulation) + Lightning's multi-node checkpoint contract (rank-zero-only
+IO). The in-process no-op path of maybe_initialize_distributed is covered in
+test_trainer.py; these cover the actually-distributed paths:
+
+  train  — DP gradient all-reduce across processes
+  ckpt   — collective orbax save (writes gated to the primary host inside
+           orbax), cross-process barrier, restore on BOTH
+  sample — mesh-sharded model.sample equal to local single-device sampling
+  fsdp   — ZeRO-3 parameter placement + training across processes, equal to
+           the DP scenario's result
 """
 
 import os
@@ -26,14 +33,14 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_distributed_train_step():
+def _run_scenario(scenario: str, workdir: str) -> list[str]:
+    """Launch 2 worker processes; return their stdouts (asserted OK)."""
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port)],
+            [sys.executable, WORKER, str(pid), "2", str(port), scenario, workdir],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         )
         for pid in range(2)
@@ -43,9 +50,61 @@ def test_two_process_distributed_train_step():
         out, _ = p.communicate(timeout=600)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert p.returncode == 0, f"worker {pid} ({scenario}) failed:\n{out[-3000:]}"
         assert "MULTIHOST_OK" in out, out[-3000:]
+    return outs
+
+
+def _field(outs: list[str], key: str) -> list[str]:
+    return [
+        tok.split("=", 1)[1]
+        for out in outs
+        for line in out.splitlines()
+        if "MULTIHOST_OK" in line
+        for tok in line.split()
+        if tok.startswith(key + "=")
+    ]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train_step(tmp_path):
+    outs = _run_scenario("train", str(tmp_path))
     # SPMD consistency: every process must end with identical replicated params
-    sums = [line.split("checksum=")[1].strip()
-            for out in outs for line in out.splitlines() if "MULTIHOST_OK" in line]
+    sums = _field(outs, "checksum")
     assert len(sums) == 2 and sums[0] == sums[1], sums
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_save_restore(tmp_path):
+    """Collective orbax save (all processes call; orbax gates the bytes to
+    the primary host) crosses the process boundary through the (shared)
+    filesystem; both processes restore the identical state."""
+    outs = _run_scenario("ckpt", str(tmp_path))
+    saved = _field(outs, "saved")
+    restored = _field(outs, "checksum")
+    assert len(restored) == 2 and restored[0] == restored[1], restored
+    assert float(restored[0]) == pytest.approx(float(saved[0]), abs=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_mesh_sharded_sampling(tmp_path):
+    """Each process's addressable shards of the mesh-sharded sampler output
+    equal the matching slices of a purely local integration (asserted inside
+    the workers); both locals agree."""
+    outs = _run_scenario("sample", str(tmp_path))
+    assert _field(outs, "shards") == ["2", "2"]
+    sums = _field(outs, "checksum")
+    assert sums[0] == sums[1], sums
+
+
+@pytest.mark.slow
+def test_two_process_fsdp_matches_dp(tmp_path):
+    """ZeRO-3 across 2 processes: placement is really sharded (asserted in
+    the worker) and the trained params match the DP scenario bit-for-bit up
+    to reduction order."""
+    outs_dp = _run_scenario("train", str(tmp_path))
+    outs_fsdp = _run_scenario("fsdp", str(tmp_path))
+    dp = [float(s) for s in _field(outs_dp, "checksum")]
+    fs = [float(s) for s in _field(outs_fsdp, "checksum")]
+    assert fs[0] == fs[1]
+    assert fs[0] == pytest.approx(dp[0], rel=1e-5)
