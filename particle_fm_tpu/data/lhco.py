@@ -427,6 +427,13 @@ class LHCOJetFeatureDataModule(ArrayDataModule):
     seed: int = 0
     synthetic: bool = False
     synthetic_num_events: int = 4000
+    # cap on synthetic per-jet multiplicity. MUST match the constituent
+    # stage's num_particles (LHCODataModule default 279): stage-1's
+    # multiplicity feature drives the stage-2 generation masks, and a
+    # mismatched cap (the pre-round-5 hardcoded 32) gives every generated
+    # event multiplicity ~32 against real ~Poisson(60) — which the SR
+    # gen-vs-real classifier separates at AUC 1.0 on the mask alone.
+    synthetic_num_particles: int = 279
 
     tensor_train_sr: Optional[np.ndarray] = None
     tensor_val_sr: Optional[np.ndarray] = None
@@ -437,7 +444,11 @@ class LHCOJetFeatureDataModule(ArrayDataModule):
 
     def _load(self):
         if self.synthetic:
-            jets, _, mask = synthetic_lhco(self.synthetic_num_events, 32, seed=self.seed)
+            jets, _, mask = synthetic_lhco(
+                self.synthetic_num_events,
+                max(self.synthetic_num_particles, 8),
+                seed=self.seed,
+            )
             return jets, mask
         import h5py
 

@@ -74,6 +74,15 @@ class SetClassifierModel:
     dtype: Any = None
 
     def __post_init__(self):
+        # super-set grouping (epic only): S adjacent input rows form one
+        # event and the module emits ONE logit per event (B/S) — loss labels
+        # are grouped and predict() repeats probs back to per-row so every
+        # consumer (Trainer batching, ClassifierEvalCallback AUROC) keeps
+        # working on per-row arrays. GenVsRealDataModule(num_sup_sets=S)
+        # keeps the groups contiguous through shuffling/splitting.
+        self.sup_sets = int(dict(self.net_config).get("num_sup_sets", 1))
+        if self.sup_sets > 1 and self.arch != "epic":
+            raise ValueError("num_sup_sets > 1 is only supported for arch='epic'")
         if self.arch == "epic":
             cfg = dict(self.net_config)
             cfg.setdefault("hid_dim", 128)
@@ -155,6 +164,10 @@ class SetClassifierModel:
             rngs={"dropout": rng} if train else None,
         )
         labels = cond
+        if self.sup_sets > 1:
+            # per-event logits (B/S): take one label per group (identical
+            # within an event by the datamodule's grouping contract)
+            labels = labels.reshape(-1, self.sup_sets, *labels.shape[1:])[:, 0]
         if self.n_classes == 1:
             labels = labels.reshape(logits.shape).astype(logits.dtype)
             loss = optax.sigmoid_binary_cross_entropy(logits, labels).mean()
@@ -168,8 +181,12 @@ class SetClassifierModel:
 
     @partial(jax.jit, static_argnames=("self",))
     def predict(self, variables, x, mask=None):
-        """Probabilities: sigmoid (binary) or softmax (multiclass)."""
+        """Probabilities: sigmoid (binary) or softmax (multiclass). With
+        super-set grouping, the per-event probability is repeated onto each
+        of its S rows (ranking-identical, so AUROC/accuracy are unchanged)."""
         logits = self.module.apply(variables, x, mask=mask)
+        if self.sup_sets > 1:
+            logits = jnp.repeat(logits, self.sup_sets, axis=0)
         if self.n_classes == 1:
             return jax.nn.sigmoid(logits)[..., 0]
         return jax.nn.softmax(logits, axis=-1)

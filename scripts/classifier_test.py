@@ -40,6 +40,20 @@ def main():
         help="pretrained classifier checkpoint to fine-tune from "
         "(the head is reinitialised, reference reinitialise_fc)",
     )
+    ap.add_argument(
+        "--gen_h5", default=None,
+        help="LHCO SR mode (the reference anomaly chain's endpoint, "
+        "models/epic_classifier.py + classifier_datamodule.py): xy-mode "
+        "output of generate_data_lhco.py (constituents + constituents_y); "
+        "trains the dijet EPiC classifier (num_sup_sets=2) on generated vs "
+        "REAL signal-region events. --run_dir must be the stage-2 run (its "
+        "datamodule supplies the real SR events).",
+    )
+    ap.add_argument(
+        "--control", action="store_true",
+        help="with --gen_h5: real-vs-real control split instead of the "
+        "generated events (AUC ~ 0.5 calibrates the test itself)",
+    )
     ap.add_argument("--n_samples", type=int, default=20000)
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument(
@@ -88,6 +102,9 @@ def main():
             )
         return _fit_and_report(args, clf, cdm)
 
+    if args.gen_h5:
+        return _lhco_sr_mode(args)
+
     cfg, dm, model, variables = load_run(args.run_dir, args.ckpt)
     real = dm.tensor_test
     mask = dm.mask_test
@@ -131,7 +148,81 @@ def main():
     return _fit_and_report(args, clf, cdm)
 
 
-def _fit_and_report(args, clf, cdm):
+def _lhco_sr_mode(args):
+    """SR gen-vs-real dijet classifier — the LHCO anomaly chain's payoff.
+
+    Parity: the reference two-stage pipeline terminates in training
+    EPiCClassifierLitModule on generated-vs-real SR point clouds
+    (particle_fm/models/epic_classifier.py:40-223,
+    data/classifier_datamodule.py:20; SURVEY 3.4). Here: the xy-mode output
+    of generate_data_lhco.py supplies the generated dijet events; the REAL
+    signal-region events come from the stage-2 datamodule's raw loader
+    (the SR window is excluded from generative training, so they are
+    model-held-out). Events keep their two-jet structure: rows (2i, 2i+1)
+    are one event and the EPiC discriminator pools with num_sup_sets=2
+    (nets/epic.py super-set head). AUC ~ 0.5 = the generator is
+    indistinguishable from real SR data.
+    """
+    import h5py
+
+    from particle_fm_tpu.data.classifier import GenVsRealDataModule
+    from particle_fm_tpu.data.utils import get_mjj
+    from particle_fm_tpu.models.classifiers import SetClassifierModel
+    from particle_fm_tpu.utils.run_io import load_run
+
+    cfg, dm2, _model, _vars = load_run(args.run_dir, args.ckpt)
+    n_p = dm2.num_particles
+
+    # real SR events straight from the raw per-event arrays (the datamodule's
+    # split tensors shuffle jets independently, which would break x/y event
+    # pairing); constituents arrive (pt, eta, phi) relative -> reorder to the
+    # (eta, phi, pt) convention the generative models emit
+    jets, consts, mask = dm2._load()
+    sr = (get_mjj(jets[:, 0], jets[:, 1]) > 3300) & (
+        get_mjj(jets[:, 0], jets[:, 1]) < 3700
+    )
+    consts, mask = consts[sr][:, :, :n_p, :], mask[sr][:, :, :n_p, :]
+    consts = consts[..., [1, 2, 0]] * mask
+    real = consts.reshape(-1, n_p, consts.shape[-1]).astype(np.float32)
+    real_mask = mask.reshape(-1, n_p, 1).astype(np.float32)
+
+    if args.control:
+        # real-vs-real: split the SR events in half; a healthy test reads ~0.5
+        n_ev = len(real) // 2 // 2
+        gen, gen_mask = real[2 * n_ev : 4 * n_ev], real_mask[2 * n_ev : 4 * n_ev]
+        real, real_mask = real[: 2 * n_ev], real_mask[: 2 * n_ev]
+    else:
+        with h5py.File(args.gen_h5, "r") as f:
+            if "constituents_y" not in f:
+                raise SystemExit(
+                    "--gen_h5 needs xy-mode output (run generate_data_lhco.py "
+                    "with --stage2_run_y, one run dir may serve both jets)"
+                )
+            gx, gy = np.asarray(f["constituents"]), np.asarray(f["constituents_y"])
+            mx, my = np.asarray(f["mask"]), np.asarray(f["mask_y"])
+        gen = np.stack([gx, gy], axis=1).reshape(-1, gx.shape[1], gx.shape[2])
+        gen_mask = np.stack([mx, my], axis=1).reshape(-1, mx.shape[1], 1)
+        gen = (gen[:, :n_p] * gen_mask[:, :n_p]).astype(np.float32)
+        gen_mask = gen_mask[:, :n_p].astype(np.float32)
+
+    n = min(len(real), len(gen), 2 * args.n_samples)
+    n -= n % 2  # whole events
+    cdm = GenVsRealDataModule(
+        real=real[:n], real_mask=real_mask[:n], gen=gen[:n], gen_mask=gen_mask[:n],
+        batch_size=args.batch_size, num_sup_sets=2,
+    )
+    cdm.setup()
+    clf = SetClassifierModel(
+        arch="epic", n_classes=1, num_particles=n_p, features=real.shape[-1],
+        net_config={"num_sup_sets": 2},
+    )
+    tag = "control" if args.control else "sr"
+    print(f"[classifier_test] LHCO SR mode ({tag}): "
+          f"{n} jets ({n // 2} events) per side")
+    return _fit_and_report(args, clf, cdm, out_name=f"classifier_test_sr_{tag}.yaml")
+
+
+def _fit_and_report(args, clf, cdm, out_name: str = "classifier_test.yaml"):
     import jax
     import optax
 
@@ -177,7 +268,7 @@ def _fit_and_report(args, clf, cdm):
         "classifier_auc": float(final["auroc"]),
         "classifier_accuracy": float(final["accuracy"]),
     }
-    path = os.path.join(args.run_dir, "classifier_test.yaml")
+    path = os.path.join(args.run_dir, out_name)
     with open(path, "w") as f:
         yaml.safe_dump(out, f)
     print(f"[classifier_test] AUC={out['classifier_auc']:.4f} "
