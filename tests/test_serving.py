@@ -166,3 +166,30 @@ def test_export_guidance_requires_cond():
             model, variables, batch_size=2, num_points=8, features=3,
             cond_dim=0, use_mask=True, ode_steps=4, guidance_scale=2.0,
         )
+
+
+def test_serve_batches_seed_schemes():
+    """Per-chunk seed derivation is recorded in the artifact meta (ADVICE
+    r4): default/hash_v1 hashes (seed, chunk) via SeedSequence, add_v0
+    reproduces the legacy additive streams of pre-scheme artifacts, unknown
+    names are rejected."""
+    seen = []
+
+    def fn(seed, *a):
+        seen.append(int(seed))
+        return np.full((4, 2), float(seed))
+
+    meta = {"batch_size": 4, "cond_dim": 0, "use_mask": False}
+    expect = [
+        int(np.random.SeedSequence([3, i]).generate_state(1)[0]) for i in range(2)
+    ]
+    serving.serve_batches(fn, dict(meta), n_samples=8, seed=3)
+    assert seen == expect  # missing key defaults to hash_v1
+    seen.clear()
+    serving.serve_batches(fn, dict(meta, seed_scheme="hash_v1"), n_samples=8, seed=3)
+    assert seen == expect
+    seen.clear()
+    serving.serve_batches(fn, dict(meta, seed_scheme="add_v0"), n_samples=8, seed=3)
+    assert seen == [3, 4]
+    with pytest.raises(ValueError, match="seed_scheme"):
+        serving.serve_batches(fn, dict(meta, seed_scheme="bogus"), n_samples=4)
