@@ -40,7 +40,8 @@ repro-bench:
 repro-flagship:
 	python -m particle_fm_tpu.train experiment=jetnet/fm_tops150_cond \
 	    data.synthetic=true data.synthetic_num_jets=30000 \
-	    trainer.max_epochs=800 output_dir=runs/repro_flagship
+	    trainer.max_epochs=800 model.cond_dropout=0.1 \
+	    output_dir=runs/repro_flagship
 	python scripts/eval_ckpt.py --run_dir "$$(ls -dt runs/repro_flagship/* | head -1)"
 
 # ReFlow NFE=1 distillation of the repro-flagship teacher (run after
