@@ -19,9 +19,13 @@ from particle_fm_tpu.data.base import ArrayDataModule, Split
 from particle_fm_tpu.data.utils import normalize_tensor
 
 
-def _logit(x, eps=1e-6):
-    x = np.clip(x, eps, 1 - eps)
-    return np.log(x / (1 - x))
+# logit preprocessing = the reference's LogitScaler pipeline stage
+# (utils/preprocessing.py:67-100): MinMax to (eps, 1-eps) FIT ON THE TRAIN
+# SIDEBAND SPLIT, then logit. A bare clip-logit (the pre-round-5
+# implementation) degenerates on real-unit features — anything >= 1 maps to
+# the constant logit(1-eps), which silently deleted two of the four
+# synthetic features from training and made their W1s meaningless.
+from particle_fm_tpu.data.calo_scalers import LogitScaler
 
 
 @dataclass
@@ -73,12 +77,21 @@ class GenChallengeDataModule(ArrayDataModule):
             "test": (fold_concat(outer, self.test_sets), fold_concat(inner, self.test_sets)),
         }
 
+        self.scaler = None
+        if self.logit_transform:
+            # fit on the train sideband features only (reference
+            # gen_challenge_datamodule.py:247 `pipeline.fit(dataset_train)`),
+            # with the scaler's epsilon=0.01 feature range
+            self.scaler = LogitScaler(eps=0.01)
+            self.scaler.fit(splits["train"][0][:, 1:].astype(np.float32))
+
         data = {}
         for name, (sb, sr) in splits.items():
             x, c = sb[:, 1:].astype(np.float32), sb[:, :1].astype(np.float32)
             xs, cs = sr[:, 1:].astype(np.float32), sr[:, :1].astype(np.float32)
-            if self.logit_transform:
-                x, xs = _logit(x), _logit(xs)
+            if self.scaler is not None:
+                x = self.scaler.transform(x).astype(np.float32)
+                xs = self.scaler.transform(xs).astype(np.float32)
             data[name] = (x, c, xs, cs)
             setattr(self, f"tensor_{name}", x.copy())
             setattr(self, f"tensor_{name}_sr", xs.copy())
